@@ -1,0 +1,182 @@
+"""Typed configuration for the stylization pipeline.
+
+Reference parity: the reference's ``config.py`` is a single argparse flag
+namespace (SURVEY.md §2 "Config/flags": run tag, data paths, frame ranges,
+octaves, optimizer, renderer, loss, and parameterization knobs). We keep
+every public knob but organize them into typed dataclasses; the CLI
+(:mod:`nfs_tpu.cli.stylize`) re-exposes the flat flag surface for
+compatibility.
+
+All configs are frozen (hashable) so they can be closed over by ``jax.jit``
+as static data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Frame data layout (reference flags: --data_dir, --d_path, --v_path,
+    --p_path, --num_frames, --target_frame, --frame_stride)."""
+
+    data_dir: str = "data/smoke"
+    log_dir: str = "log"
+    tag: str = "run"
+    # printf-style per-frame file patterns relative to data_dir
+    d_path: str = "d_%04d.npz"      # density grids
+    v_path: str = "v_%04d.npz"      # simulation velocity grids
+    p_path: str = "p_%04d.npz"      # particle positions (+ attrs)
+    num_frames: int = 1
+    target_frame: int = 0
+    frame_stride: int = 1
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Differentiable renderer + camera sampling knobs (reference flags:
+    --transmit, --render_size, --n_views, --phi0/1, --theta0/1,
+    --sample_type; TNST §5)."""
+
+    # Beer-Lambert absorption coefficient per unit density per cell.
+    transmit: float = 0.01
+    # Output image (H, W); for 2D grids the grid itself is the image.
+    render_size: Tuple[int, int] = (256, 256)
+    n_views: int = 9
+    # View-angle rectangle, degrees. theta = azimuth about the vertical (y)
+    # axis, phi = elevation. Defaults match a frontal fan of views.
+    theta0: float = -10.0
+    theta1: float = 10.0
+    phi0: float = -5.0
+    phi1: float = 5.0
+    # 'poisson' (Bridson, host-precomputed pool) | 'stratified' (jittable)
+    # | 'uniform'
+    sample_type: str = "poisson"
+    # number of precomputed Poisson-disk view sets cycled during optimization
+    view_pool: int = 64
+    # post-render mapping before the CNN
+    gamma: float = 1.0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss network and objective knobs (reference flags: --style_target,
+    --content_target, --content_layer, --content_channel, --style_layer,
+    --w_style, --w_content, per-layer style weights; TNST §4)."""
+
+    # Path to style image. None => semantic-only objective.
+    style_target: Optional[str] = None
+    # Gram-loss layers of VGG-19 with per-layer weights.
+    style_layers: Tuple[str, ...] = (
+        "relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1",
+    )
+    style_layer_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0)
+    w_style: float = 1.0
+    # Content / semantic objective (DeepDream-style): maximize the mean
+    # activation of `content_channel` in `content_layer`. If
+    # content_channel is None and content_target is set, a feature-matching
+    # content loss is used instead.
+    content_layer: Optional[str] = None
+    content_channel: Optional[int] = None
+    content_target: Optional[str] = None
+    w_content: float = 0.0
+    # Total-variation regularizer on the optimized field.
+    w_tv: float = 0.0
+    # VGG-19 weights file (.npz of params); None => deterministic random
+    # init (features are still a valid multi-scale image prior; see
+    # nfs_tpu/features/vgg.py docstring and SURVEY.md §7 step 3 risk note).
+    vgg_weights: Optional[str] = None
+    pool: str = "avg"  # 'avg' | 'max' pooling inside VGG
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Octave Adam loop (reference flags: --octave_n, --octave_scale,
+    --iter, --lr; TNST §4, DeepDream-style octaves)."""
+
+    octave_n: int = 3
+    octave_scale: float = 1.8
+    iters: int = 30          # Adam iterations per octave
+    lr: float = 0.01
+    # 'density'  => optimize an additive density perturbation (d* = d + dd)
+    # 'velocity' => transport parameterization, d* = advect(d, v_hat)
+    #               (TNST §4.2)
+    parameterization: str = "density"
+    # temporal window half-width W for sequence stylization (TNST §6);
+    # 0 => per-frame independent
+    window: int = 0
+    # Gaussian sigma (in frames) for window blend weights
+    window_sigma: float = 1.0
+    # log/checkpoint cadence: the jitted fori_loop runs in chunks this big
+    log_every: int = 10
+    # Adam moments
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+@dataclass(frozen=True)
+class ParticleConfig:
+    """LNST per-particle parameterization (LNST §4): which attributes are
+    optimized, splat kernel support, keyframe cadence (LNST §5)."""
+
+    optimize_position: bool = True
+    optimize_density: bool = False
+    optimize_color: bool = False
+    # splat kernel: 'bspline' quadratic (3^d support) | 'linear' (2^d)
+    kernel: str = "bspline"
+    # particle radius scale in cells (kernel dilation)
+    support: float = 1.0
+    # keyframe stride; attributes are interpolated between keyframes
+    keyframe_stride: int = 10
+    # clamp on position offsets (cells)
+    max_offset: float = 4.0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout (no reference equivalent — single GPU there).
+
+    Axes: 'frames' shards independent frames / temporal windows (DP with
+    ppermute halos), 'views' shards camera views of one frame (psum gradient
+    reduction). See SURVEY.md §2 parallelism inventory.
+    """
+
+    frames: int = 1
+    views: int = 1
+    # halo depth (frames) exchanged between neighbor shards for window loss
+    halo: int = 0
+
+
+@dataclass(frozen=True)
+class StyleConfig:
+    """Top-level bundle passed to the stylers."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    particle: ParticleConfig = field(default_factory=ParticleConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "StyleConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace that tolerates nested dotted keys, e.g.
+    ``replace(cfg, **{"optim.iters": 50})``."""
+    flat = {}
+    nested = {}
+    for k, v in kw.items():
+        if "." in k:
+            head, rest = k.split(".", 1)
+            nested.setdefault(head, {})[rest] = v
+        else:
+            flat[k] = v
+    for head, sub in nested.items():
+        flat[head] = replace(getattr(cfg, head), **sub)
+    return dataclasses.replace(cfg, **flat)

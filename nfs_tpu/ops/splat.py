@@ -1,0 +1,148 @@
+"""Differentiable particle-to-grid splatting (LNST §4.1; reference:
+particle styler's SPH-kernel rasterizer, SURVEY.md §2 "Particle styler").
+
+``splat(x, attr, shape)`` scatters per-particle attributes onto a grid with
+a compact smoothing kernel. Differentiable w.r.t. both the attributes
+(linear) and the particle positions (through the kernel weights) — the
+position gradient is what lets LNST optimize per-particle position offsets.
+
+Kernels:
+  - 'linear': tent, 2^d-cell support (the transpose of bilinear sampling).
+  - 'bspline': quadratic B-spline, 3^d support (MPM-style); smoother
+    position gradients, the default for stylization.
+
+TPU notes: forward lowers to XLA scatter-add, backward to gathers. This is
+the #2 Pallas-kernel candidate (SURVEY.md §7 hard parts); the functional
+interface here is the stable seam for that swap.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _kernel_weight_1d(u: jax.Array, kernel: str) -> jax.Array:
+    """Kernel value at signed distance u (cells), unit support."""
+    au = jnp.abs(u)
+    if kernel == "linear":
+        return jnp.maximum(1.0 - au, 0.0)
+    if kernel == "bspline":
+        w_near = 0.75 - au * au
+        w_far = 0.5 * (1.5 - au) ** 2
+        return jnp.where(au < 0.5, w_near, jnp.where(au < 1.5, w_far, 0.0))
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def _stencil(kernel: str, support: float) -> Tuple[int, int]:
+    """(lo_offset, n_taps) of the per-axis integer stencil relative to
+    floor(x) for a kernel of radius r*support.
+
+    A node at offset o from floor(x) has |o - frac| < radius for some
+    frac in [0, 1) iff o in (-radius, radius + 1); kernels vanish at the
+    radius so the open bounds are exact.
+    """
+    radius = (1.0 if kernel == "linear" else 1.5) * support
+    lo = int(math.floor(-radius)) + 1
+    hi = int(math.ceil(radius + 1.0))  # exclusive
+    return lo, hi - lo
+
+
+@partial(jax.jit, static_argnames=("shape", "kernel", "support"))
+def splat(x: jax.Array, attr: jax.Array, shape: Tuple[int, ...],
+          kernel: str = "bspline", support: float = 1.0) -> jax.Array:
+    """Scatter particle attributes to a grid.
+
+    Args:
+      x: (N, dim) positions in cell-index coordinates (axis order).
+      attr: (N,) or (N, C) per-particle values.
+      shape: grid spatial shape, len == dim.
+      kernel: 'linear' | 'bspline'.
+      support: kernel dilation in cells. Per-axis weights are divided by
+        `support` so the splat conserves total mass for any dilation.
+
+    Returns:
+      (*shape,) or (*shape, C) grid.
+    """
+    ndim = x.shape[-1]
+    assert len(shape) == ndim
+    has_channels = attr.ndim == 2
+
+    xf = x.astype(jnp.float32)
+    base = jnp.floor(xf).astype(jnp.int32)              # (N, dim)
+    lo, n_taps = _stencil(kernel, support)
+
+    out_shape = tuple(shape) + ((attr.shape[-1],) if has_channels else ())
+    grid = jnp.zeros(out_shape, dtype=attr.dtype)
+
+    inv_s = 1.0 / support
+    for offsets in itertools.product(range(lo, lo + n_taps), repeat=ndim):
+        idx = []
+        w = jnp.ones(x.shape[0], dtype=attr.dtype)
+        for d in range(ndim):
+            node = base[:, d] + offsets[d]
+            u = (node.astype(jnp.float32) - xf[:, d]) * inv_s
+            w = w * (_kernel_weight_1d(u, kernel) * inv_s).astype(attr.dtype)
+            idx.append(node)
+        vals = w[:, None] * attr if has_channels else w * attr
+        # mode='drop' discards out-of-bounds taps (zero boundary), with a
+        # correct (gather) transpose for autodiff.
+        grid = grid.at[tuple(idx)].add(vals, mode="drop")
+    return grid
+
+
+@partial(jax.jit, static_argnames=("shape", "kernel", "support"))
+def splat_normalized(x: jax.Array, attr: jax.Array, shape: Tuple[int, ...],
+                     kernel: str = "bspline", support: float = 1.0,
+                     eps: float = 1e-6) -> jax.Array:
+    """Weight-normalized splat: the grid holds the kernel-weighted *average*
+    attribute (for intensive quantities like color), not the sum."""
+    ones = jnp.ones(x.shape[0], dtype=attr.dtype)
+    num = splat(x, attr, shape, kernel=kernel, support=support)
+    den = splat(x, ones, shape, kernel=kernel, support=support)
+    if attr.ndim == 2:
+        den = den[..., None]
+    return num / (den + eps)
+
+
+def gather(grid: jax.Array, x: jax.Array, kernel: str = "bspline",
+           support: float = 1.0) -> jax.Array:
+    """Grid-to-particle interpolation with the same kernel family (G2P for
+    the FLIP solver and for sampling grid quantities back onto particles).
+
+    Note: unlike `splat`, weights here are NOT divided by support — gather
+    interpolates an intensive field, so weights are normalized to sum ~1.
+    """
+    ndim = x.shape[-1]
+    shape = grid.shape[:ndim]
+    has_channels = grid.ndim > ndim
+    xf = x.astype(jnp.float32)
+    base = jnp.floor(xf).astype(jnp.int32)
+    lo, n_taps = _stencil(kernel, support)
+    inv_s = 1.0 / support
+
+    out = None
+    wsum = None
+    for offsets in itertools.product(range(lo, lo + n_taps), repeat=ndim):
+        idx = []
+        w = jnp.ones(x.shape[0], dtype=grid.dtype)
+        for d in range(ndim):
+            node = base[:, d] + offsets[d]
+            u = (node.astype(jnp.float32) - xf[:, d]) * inv_s
+            w = w * _kernel_weight_1d(u, kernel).astype(grid.dtype)
+            idx.append(jnp.clip(node, 0, shape[d] - 1))
+        vals = grid[tuple(idx)]
+        if has_channels:
+            term = w[:, None] * vals
+        else:
+            term = w * vals
+        out = term if out is None else out + term
+        wsum = w if wsum is None else wsum + w
+    if has_channels:
+        wsum = wsum[:, None]
+    return out / (wsum + 1e-8)

@@ -1,0 +1,42 @@
+"""Mesh construction over TPU slices (or the virtual CPU backend in tests).
+
+Frames ride the outer mesh dimension so that, on a multi-slice/multi-host
+topology, frame halos (small, infrequent) cross DCN while view reductions
+(every step) stay inside a slice on ICI — the layout SURVEY.md §2's
+collectives row prescribes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(frames: int = 1, views: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (frames, views) mesh from the available devices.
+
+    frames * views must divide the device count; leftover devices are
+    unused (a warning-free truncation, explicit is better than implicit
+    failure on odd pod shapes).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    need = frames * views
+    if need > len(devices):
+        raise ValueError(
+            f"mesh ({frames} frames x {views} views = {need}) exceeds "
+            f"{len(devices)} available devices")
+    arr = np.array(devices[:need]).reshape(frames, views)
+    return Mesh(arr, axis_names=("frames", "views"))
+
+
+def mesh_shape_for(n_devices: int) -> Tuple[int, int]:
+    """Default (frames, views) factorization of a device count: prefer a
+    views axis of up to 2 (view rendering is cheap to reduce), everything
+    else on frames (the embarrassingly parallel axis)."""
+    if n_devices % 2 == 0 and n_devices > 2:
+        return n_devices // 2, 2
+    return n_devices, 1

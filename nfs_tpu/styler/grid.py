@@ -1,0 +1,307 @@
+"""TNST grid stylization engine (reference: ``styler.py`` class Styler,
+SURVEY.md §2/§3.2-3.3; TNST arXiv:1905.07442).
+
+Capabilities, matching the reference's public surface:
+  - 2D (H, W) and 3D (D, H, W) smoke density grids;
+  - parameterizations: additive density perturbation ``d* = d + dd`` or
+    transport/velocity ``d* = advect(d, v_hat)`` (TNST §4.2);
+  - losses: Gram style vs a style image, semantic (DeepDream channel)
+    and/or content feature matching, TV regularizer (TNST §4);
+  - multi-view differentiable rendering with Poisson-disk camera sampling
+    for 3D (TNST §5), direct grid image for 2D;
+  - multi-scale octave Adam optimization (coarse -> fine);
+  - temporal coherence: Gaussian-weighted window transport losses and
+    recursive sequence stylization (TNST §6).
+
+TPU-native design: per octave, the full iteration loop is one jitted
+lax.scan (on-device optax Adam, on-device view-pool indexing); the host
+only resizes between octaves and logs. All arrays (densities, VGG params,
+Gram targets, camera pools) are threaded through the scan as traced
+arguments, and the loss closure + optimizer are cached per structural
+signature — so a sequence compiles once per octave shape and then streams
+every frame through the same executables. No per-iteration host sync
+(unlike the reference, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nfs_tpu.core.config import StyleConfig
+from nfs_tpu.features.vgg import get_vgg_params, vgg_features
+from nfs_tpu.features.losses import (
+    content_loss,
+    semantic_loss,
+    style_gram_targets,
+    style_loss,
+    tv_loss,
+)
+from nfs_tpu.io.image import load_image
+from nfs_tpu.ops.advect import advect
+from nfs_tpu.ops.resize import octave_shapes, resize
+from nfs_tpu.render.camera import poisson_view_pool, sample_views_stratified
+from nfs_tpu.render.raymarch import render2d, render_views
+from nfs_tpu.styler.octave import run_octave
+
+
+class GridStyler:
+    """Grid (smoke) stylizer. Host-side orchestration only; all compute
+    jitted on device."""
+
+    def __init__(self, cfg: StyleConfig, vgg_params=None,
+                 style_image: Optional[np.ndarray] = None,
+                 content_image: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.vgg_params = (vgg_params if vgg_params is not None else
+                           get_vgg_params(cfg.loss.vgg_weights,
+                                          seed=cfg.seed))
+        lc = cfg.loss
+        rc = cfg.render
+
+        if style_image is None and lc.style_target:
+            style_image = load_image(lc.style_target, size=rc.render_size)
+        self.style_image = style_image
+        self.gram_targets = None
+        if style_image is not None:
+            self.gram_targets = style_gram_targets(
+                self.vgg_params, jnp.asarray(style_image),
+                lc.style_layers, pool=lc.pool)
+
+        if content_image is None and lc.content_target:
+            content_image = load_image(lc.content_target,
+                                       size=rc.render_size)
+        self.content_feats = None
+        if content_image is not None and lc.content_layer:
+            self.content_feats = vgg_features(
+                self.vgg_params, jnp.asarray(content_image)[None],
+                (lc.content_layer,), pool=lc.pool)
+
+        # Poisson-disk camera pool, device-resident (SURVEY.md §7 design
+        # stance: host Bridson -> device pool indexed inside jit).
+        if rc.sample_type == "poisson":
+            self.view_pool = jnp.asarray(poisson_view_pool(
+                rc.view_pool, rc.n_views, (rc.theta0, rc.theta1),
+                (rc.phi0, rc.phi1), seed=cfg.seed))
+        else:
+            self.view_pool = None
+
+        # jit-cache-stable loss closures (keyed by structural signature)
+        # and a single optimizer instance (stable identity across frames).
+        self._loss_cache: Dict[Tuple, object] = {}
+        self._optimizer = optax.adam(cfg.optim.lr, b1=cfg.optim.b1,
+                                     b2=cfg.optim.b2)
+
+    # ---------------------------------------------------------------- #
+    # loss pipeline (pure functions of (opt_var, key, data))
+    # ---------------------------------------------------------------- #
+
+    def _sample_views(self, key: jax.Array, pool) -> jax.Array:
+        rc = self.cfg.render
+        if pool is not None:
+            idx = jax.random.randint(key, (), 0, pool.shape[0])
+            return pool[idx]
+        return sample_views_stratified(
+            key, rc.n_views, (rc.theta0, rc.theta1), (rc.phi0, rc.phi1))
+
+    def _render(self, d_star: jax.Array, key: jax.Array, pool) -> jax.Array:
+        """d* -> (N, H, W, 3) images for the CNN."""
+        rc = self.cfg.render
+        if d_star.ndim == 2:
+            return render2d(d_star, out_size=rc.render_size,
+                            gamma=rc.gamma)[None]
+        views = self._sample_views(key, pool)
+        return render_views(d_star, views[:, 0], views[:, 1],
+                            transmit=rc.transmit, out_size=rc.render_size,
+                            gamma=rc.gamma)
+
+    def _apply_param(self, opt_var: jax.Array, d_base: jax.Array
+                     ) -> jax.Array:
+        if self.cfg.optim.parameterization == "velocity":
+            return advect(d_base, opt_var)
+        return d_base + opt_var
+
+    def _image_loss(self, imgs: jax.Array, data) -> jax.Array:
+        lc = self.cfg.loss
+        layers = set()
+        if data["targets"] is not None:
+            layers |= set(lc.style_layers)
+        if lc.content_layer:
+            layers.add(lc.content_layer)
+        feats = vgg_features(data["vgg"], imgs, tuple(sorted(layers)),
+                             pool=lc.pool)
+        total = jnp.float32(0.0)
+        if data["targets"] is not None and lc.w_style:
+            total += lc.w_style * style_loss(
+                feats, data["targets"], lc.style_layers,
+                lc.style_layer_weights)
+        if lc.content_layer and lc.w_content:
+            if data["content"] is not None:
+                total += lc.w_content * content_loss(
+                    feats, data["content"], lc.content_layer)
+            else:
+                total += lc.w_content * semantic_loss(
+                    feats, lc.content_layer, lc.content_channel)
+        return total
+
+    def _window_weights(self, window: int) -> jax.Array:
+        oc = self.cfg.optim
+        j = jnp.arange(-window, window + 1, dtype=jnp.float32)
+        w = jnp.exp(-0.5 * (j / max(oc.window_sigma, 1e-6)) ** 2)
+        return w / jnp.sum(w)
+
+    def _get_loss_fn(self, ndim: int, window: int):
+        """Stable-identity loss closure per structural signature."""
+        sig = (ndim, window)
+        if sig in self._loss_cache:
+            return self._loss_cache[sig]
+
+        cfg = self.cfg
+        weights = self._window_weights(window) if window else None
+
+        def loss_fn(opt_var, key, data):
+            d_base = data["d"]
+            pool = data["pool"]
+            d_star = self._apply_param(opt_var, d_base)
+            if window == 0:
+                total = self._image_loss(self._render(d_star, key, pool),
+                                         data)
+            else:
+                vels = data["vels"]
+                keys = jax.random.split(key, 2 * window + 1)
+                total = weights[window] * self._image_loss(
+                    self._render(d_star, keys[window], pool), data)
+                # forward transport through sim velocities (TNST §6)
+                d_j = d_star
+                for j in range(1, window + 1):
+                    d_j = advect(d_j, vels[window + j - 1])
+                    total += weights[window + j] * self._image_loss(
+                        self._render(d_j, keys[window + j], pool), data)
+                # backward transport (inverse advection approximation)
+                d_j = d_star
+                for j in range(1, window + 1):
+                    d_j = advect(d_j, -vels[window - j])
+                    total += weights[window - j] * self._image_loss(
+                        self._render(d_j, keys[window - j], pool), data)
+            if cfg.loss.w_tv:
+                total += cfg.loss.w_tv * tv_loss(opt_var, ndim=ndim)
+            return total
+
+        self._loss_cache[sig] = loss_fn
+        return loss_fn
+
+    # ---------------------------------------------------------------- #
+    # public API
+    # ---------------------------------------------------------------- #
+
+    def init_param(self, shape: Tuple[int, ...]) -> jax.Array:
+        if self.cfg.optim.parameterization == "velocity":
+            return jnp.zeros(tuple(shape) + (len(shape),), jnp.float32)
+        return jnp.zeros(tuple(shape), jnp.float32)
+
+    def _resize_param(self, param: jax.Array, shape: Tuple[int, ...]
+                      ) -> jax.Array:
+        if tuple(param.shape[:len(shape)]) == tuple(shape):
+            return param
+        is_vel = self.cfg.optim.parameterization == "velocity"
+        return resize(param, shape, is_velocity=is_vel)
+
+    def stylize_frame(self, d: np.ndarray,
+                      vels: Optional[np.ndarray] = None,
+                      init_param: Optional[jax.Array] = None,
+                      key: Optional[jax.Array] = None,
+                      callback=None):
+        """Stylize one frame (or one temporal window around a frame).
+
+        Args:
+          d: (H, W) or (D, H, W) density (center frame).
+          vels: optional (2W, *spatial, ndim) sim velocities for the window
+            loss: vels[:W] are frames t-W..t-1 (backward transport uses
+            their negation), vels[W:] are frames t..t+W-1 (forward).
+          init_param: warm-start opt variable at FULL resolution (e.g. the
+            previous frame's advected stylization, TNST §6 recursive init).
+
+        Returns:
+          (d_star, param, info): stylized full-res density, final opt
+          variable, dict with per-octave losses.
+        """
+        cfg = self.cfg
+        oc = cfg.optim
+        d_full = jnp.asarray(d, jnp.float32)
+        full_shape = d_full.shape
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        window = oc.window if vels is not None else 0
+
+        shapes = octave_shapes(full_shape, oc.octave_n, oc.octave_scale)
+        param = (init_param if init_param is not None
+                 else self.init_param(full_shape))
+        loss_fn = self._get_loss_fn(d_full.ndim, window)
+        info = {"octave_losses": []}
+
+        for o, shape in enumerate(shapes):
+            param = self._resize_param(param, shape)
+            d_o = resize(d_full, shape) if shape != full_shape else d_full
+            data = {
+                "d": d_o,
+                "pool": self.view_pool,
+                "vgg": self.vgg_params,
+                "targets": self.gram_targets,
+                "content": self.content_feats,
+            }
+            if window:
+                data["vels"] = jnp.stack([
+                    resize(jnp.asarray(v, jnp.float32), shape,
+                           is_velocity=True) for v in vels])
+            key, sub = jax.random.split(key)
+            param, losses = run_octave(
+                param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
+                b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
+                callback=(partial(callback, octave=o) if callback else None),
+                optimizer=self._optimizer)
+            info["octave_losses"].append(losses)
+
+        d_star = self._apply_param(param, d_full)
+        d_star = jnp.maximum(d_star, 0.0)
+        return d_star, param, info
+
+    def stylize_sequence(self, densities, velocities=None, key=None,
+                         callback=None):
+        """Stylize a frame sequence with temporal coherence (TNST §6).
+
+        Args:
+          densities: (T, *spatial) array or list of per-frame densities.
+          velocities: optional (T, *spatial, ndim) sim velocities
+            (frame-to-frame, cells/frame); required for window > 0 and for
+            recursive init.
+
+        Yields (frame_index, d_star, param) per frame — streaming, so the
+        caller can write each frame to disk as it completes (frame-granular
+        idempotence, SURVEY.md §5).
+        """
+        cfg = self.cfg
+        W = cfg.optim.window
+        T = len(densities)
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        param = None
+
+        for t in range(0, T, cfg.data.frame_stride):
+            vels_win = None
+            if W > 0 and velocities is not None:
+                idx = [max(t - W + j, 0) for j in range(W)] + \
+                      [min(t + j, T - 1) for j in range(W)]
+                vels_win = np.stack([np.asarray(velocities[i])
+                                     for i in idx])
+            if param is not None and velocities is not None:
+                # recursive init: transport previous stylization forward
+                v_prev = jnp.asarray(velocities[max(t - 1, 0)], jnp.float32)
+                param = advect(param, v_prev)
+            key, sub = jax.random.split(key)
+            d_star, param, _ = self.stylize_frame(
+                np.asarray(densities[t]), vels=vels_win, init_param=param,
+                key=sub, callback=callback)
+            yield t, d_star, param

@@ -1,0 +1,92 @@
+"""Octave Adam driver (reference: the host-driven octave loop with numpy
+Adam moments, SURVEY.md §3.2). TPU-native redesign: optax Adam state lives
+on device and each octave's whole iteration loop is ONE jitted
+``lax.scan`` — no host<->device crossing per iteration (the reference
+crossed every iteration, a major inefficiency SURVEY.md §3.2 calls out).
+
+``run_octave`` is engine-agnostic: it optimizes any pytree of variables
+under ``loss_fn(params, key, data) -> scalar`` where ``data`` is a pytree
+of (traced) constants for the octave — densities, VGG weights, Gram
+targets, view pools. Passing data as arguments (rather than closing over
+device arrays) keeps compiled executables free of giant embedded constants
+and lets the jit cache hit across frames of a sequence: the cache key is
+(loss_fn identity, shapes), so engines cache one loss_fn per structural
+signature and stream frames through it.
+
+Iterations run in chunks of ``log_every`` so the host can log/checkpoint
+between chunks without recompiling (one compile per octave shape).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer"))
+def _scan_chunk(params, opt_state, keys, data, loss_fn, optimizer):
+    def step(carry, key):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, key, data)
+        updates, s = optimizer.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), keys)
+    return params, opt_state, losses
+
+
+def run_octave(
+    params,
+    loss_fn: Callable,
+    data,
+    key: jax.Array,
+    iters: int,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    log_every: int = 10,
+    callback: Callable = None,
+    optimizer=None,
+) -> Tuple[object, np.ndarray]:
+    """Optimize `params` with Adam for `iters` steps.
+
+    Args:
+      params: pytree of optimization variables.
+      loss_fn: (params, key, data) -> scalar loss. Must be jit-traceable
+        and have a STABLE identity across calls (cache it!) so the jitted
+        scan is compiled once per shape signature.
+      data: pytree of octave-constant arrays threaded through the scan.
+      key: PRNG key; split per iteration for view sampling.
+      callback: optional host fn(step, mean_chunk_loss) called between
+        chunks (logging / checkpoint hook; SURVEY.md §5 checkpoint-resume).
+      optimizer: optional optax transformation with a stable identity; by
+        default an optax.adam is built per call (fine for single frames —
+        sequences should pass a cached one to avoid recompiles).
+
+    Returns:
+      (optimized params, (iters,) per-iteration losses).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(lr, b1=b1, b2=b2)
+    opt_state = optimizer.init(params)
+    all_losses = []
+    done = 0
+    while done < iters:
+        n = min(log_every, iters - done)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n)
+        params, opt_state, losses = _scan_chunk(
+            params, opt_state, keys, data, loss_fn, optimizer)
+        done += n
+        all_losses.append(np.asarray(losses))
+        if callback is not None:
+            callback(done, float(jnp.mean(losses)))
+    return params, (np.concatenate(all_losses) if all_losses
+                    else np.zeros((0,), np.float32))

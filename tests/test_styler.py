@@ -1,0 +1,197 @@
+"""End-to-end styler tests (SURVEY.md §4 integration: BASELINE config #1
+2D single-frame Gram stylization on CPU for a few iterations; assert
+monotone-ish loss decrease and output invariants). Tiny shapes keep CPU
+runtime sane."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nfs_tpu.core.config import StyleConfig, replace
+from nfs_tpu.core.pytrees import ParticleSet
+from nfs_tpu.styler import GridStyler, ParticleStyler
+
+
+def tiny_cfg(**over):
+    cfg = StyleConfig()
+    base = {
+        "render.render_size": (64, 64),
+        "render.n_views": 2,
+        "render.view_pool": 4,
+        "render.transmit": 0.5,
+        "loss.style_layers": ("relu1_1", "relu2_1"),
+        "loss.style_layer_weights": (1.0, 1.0),
+        "optim.octave_n": 2,
+        "optim.octave_scale": 2.0,
+        "optim.iters": 6,
+        "optim.log_every": 3,
+        "optim.lr": 0.02,
+    }
+    base.update(over)
+    return replace(cfg, **base)
+
+
+def style_img(seed=0, size=(64, 64)):
+    return np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(seed), size + (3,)))
+
+
+def blob2d(shape=(32, 24)):
+    yy, xx = np.meshgrid(np.linspace(-1, 1, shape[0]),
+                         np.linspace(-1, 1, shape[1]), indexing="ij")
+    return np.exp(-4 * (yy ** 2 + xx ** 2)).astype(np.float32)
+
+
+def blob3d(shape=(16, 12, 16)):
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                             indexing="ij")
+    return (2.0 * np.exp(-4 * (zz ** 2 + yy ** 2 + xx ** 2))).astype(
+        np.float32)
+
+
+class TestGridStyler2D:
+    def test_density_param_loss_decreases(self):
+        cfg = tiny_cfg()
+        styler = GridStyler(cfg, style_image=style_img())
+        d = blob2d()
+        d_star, param, info = styler.stylize_frame(d)
+        assert d_star.shape == d.shape
+        assert float(jnp.min(d_star)) >= 0.0
+        losses = info["octave_losses"][-1]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]  # optimization makes progress
+
+    def test_velocity_param(self):
+        cfg = tiny_cfg(**{"optim.parameterization": "velocity"})
+        styler = GridStyler(cfg, style_image=style_img())
+        d = blob2d()
+        d_star, param, info = styler.stylize_frame(d)
+        assert param.shape == d.shape + (2,)
+        assert d_star.shape == d.shape
+        # transport conserves mass better than additive perturbation
+        assert float(jnp.sum(d_star)) == pytest.approx(float(d.sum()),
+                                                       rel=0.3)
+
+    def test_semantic_objective(self):
+        cfg = tiny_cfg(**{
+            "loss.style_target": None,
+            "loss.w_style": 0.0,
+            "loss.content_layer": "relu3_1",
+            "loss.content_channel": 5,
+            "loss.w_content": 1.0,
+        })
+        styler = GridStyler(cfg)  # no style image
+        assert styler.gram_targets is None
+        d = blob2d()
+        d_star, _, info = styler.stylize_frame(d)
+        losses = info["octave_losses"][-1]
+        assert losses[-1] < losses[0]  # channel activation maximized
+
+    def test_window_loss_runs(self):
+        cfg = tiny_cfg(**{"optim.window": 1, "optim.iters": 4})
+        styler = GridStyler(cfg, style_image=style_img())
+        d = blob2d()
+        vels = np.zeros((2,) + d.shape + (2,), np.float32)
+        vels[..., 0] = 0.5
+        d_star, _, info = styler.stylize_frame(d, vels=vels)
+        assert d_star.shape == d.shape
+        assert np.isfinite(info["octave_losses"][-1]).all()
+
+    def test_sequence_streaming(self):
+        cfg = tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 1,
+                          "optim.window": 1})
+        styler = GridStyler(cfg, style_image=style_img())
+        T = 3
+        ds = np.stack([blob2d()] * T)
+        vs = np.zeros((T, 32, 24, 2), np.float32)
+        out = list(styler.stylize_sequence(ds, vs))
+        assert [t for t, _, _ in out] == [0, 1, 2]
+        for _, d_star, _ in out:
+            assert d_star.shape == (32, 24)
+
+    def test_tv_regularizer(self):
+        cfg = tiny_cfg(**{"loss.w_tv": 10.0, "optim.iters": 4})
+        styler = GridStyler(cfg, style_image=style_img())
+        d_star, _, info = styler.stylize_frame(blob2d())
+        assert np.isfinite(info["octave_losses"][-1]).all()
+
+
+class TestGridStyler3D:
+    def test_multiview_poisson(self):
+        cfg = tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 1})
+        styler = GridStyler(cfg, style_image=style_img())
+        d = blob3d()
+        d_star, _, info = styler.stylize_frame(d)
+        assert d_star.shape == d.shape
+        losses = info["octave_losses"][-1]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_stratified_views(self):
+        cfg = tiny_cfg(**{"optim.iters": 2, "optim.octave_n": 1,
+                          "render.sample_type": "stratified"})
+        styler = GridStyler(cfg, style_image=style_img())
+        assert styler.view_pool is None
+        d_star, _, _ = styler.stylize_frame(blob3d())
+        assert np.isfinite(np.asarray(d_star)).all()
+
+
+class TestParticleStyler:
+    def _pset2d(self, n=300, seed=0):
+        rng = np.random.default_rng(seed)
+        x = 8.0 + rng.random((n, 2)).astype(np.float32) * 16.0
+        return ParticleSet(x=jnp.asarray(x),
+                           dens=jnp.ones((n,), jnp.float32))
+
+    def test_position_density_opt(self):
+        cfg = tiny_cfg(**{
+            "optim.iters": 4, "optim.octave_n": 2,
+            "particle.optimize_position": True,
+            "particle.optimize_density": True,
+        })
+        styler = ParticleStyler(cfg, grid_shape=(32, 32),
+                                style_image=style_img())
+        pset = self._pset2d()
+        styled, param, info = styler.stylize_frame(pset)
+        assert "dx" in param and "ddens" in param
+        assert float(jnp.abs(param["dx"]).max()) > 0.0  # positions moved
+        losses = info["octave_losses"][-1]
+        assert np.isfinite(losses).all()
+        # offsets bounded by max_offset (tanh clamp)
+        d_off = np.abs(np.asarray(styled.x) - np.asarray(pset.x))
+        assert d_off.max() <= cfg.particle.max_offset + 1e-4
+
+    def test_color_opt_2d(self):
+        cfg = tiny_cfg(**{
+            "optim.iters": 3, "optim.octave_n": 1,
+            "particle.optimize_position": False,
+            "particle.optimize_color": True,
+        })
+        styler = ParticleStyler(cfg, grid_shape=(32, 32),
+                                style_image=style_img())
+        styled, param, _ = styler.stylize_frame(self._pset2d())
+        assert param["color"].shape == (300, 3)
+        assert styled.color is not None
+
+    def test_keyframe_interpolation(self):
+        cfg = tiny_cfg(**{
+            "optim.iters": 2, "optim.octave_n": 1,
+            "particle.keyframe_stride": 2,
+        })
+        styler = ParticleStyler(cfg, grid_shape=(32, 32),
+                                style_image=style_img())
+        psets = [self._pset2d(seed=s) for s in range(3)]
+        out = list(styler.stylize_keyframes(psets))
+        assert [t for t, _ in out] == [0, 1, 2]
+        for _, styled in out:
+            assert styled.x.shape == (300, 2)
+
+    def test_rasterize(self):
+        cfg = tiny_cfg()
+        styler = ParticleStyler(cfg, grid_shape=(32, 32),
+                                style_image=style_img())
+        pset = self._pset2d()
+        grid = styler.rasterize(pset)
+        assert grid.shape == (32, 32)
+        assert float(jnp.sum(grid)) == pytest.approx(300.0, rel=1e-3)
