@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -177,5 +177,5 @@ def make_sharded_window_step(
     out_specs = (frames_spec, opt_state_specs, P())
 
     sharded = shard_map(_local_step, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs, check_rep=False)
+                        out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)

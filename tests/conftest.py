@@ -1,16 +1,31 @@
-"""Test harness config: force an 8-device virtual CPU backend BEFORE jax
-initializes, so sharding/collective tests run without real TPU hardware
-(SURVEY.md §4 "multi-device without a cluster")."""
+"""Test harness config: force an 8-device virtual CPU backend so
+sharding/collective tests run without real TPU hardware (SURVEY.md §4
+"multi-device without a cluster").
+
+Gotcha (this container): /root/.axon_site/sitecustomize.py imports jax and
+registers the axon TPU PJRT plugin at interpreter startup with
+JAX_PLATFORMS=axon already in the env — so setting env vars here is too
+late for the import but NOT too late for backend selection: backends
+initialize lazily at first use, so jax.config.update + XLA_FLAGS still
+take effect as long as no jax computation ran yet.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before the CPU backend is *initialized* (lazy), even though
+# jax is already imported by sitecustomize.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()} — backend was "
+    "initialized before conftest could override it")

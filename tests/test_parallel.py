@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import optax
 import pytest
 from functools import partial
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from nfs_tpu.parallel import (
@@ -46,7 +46,7 @@ class TestHaloExchange:
 
         out = shard_map(
             body, mesh=mesh, in_specs=P("frames"),
-            out_specs=P("frames"), check_rep=False)(x)
+            out_specs=P("frames"), check_vma=False)(x)
         out = np.asarray(out).reshape(8, 2)
         for shard in range(8):
             lo = shard * L
@@ -64,7 +64,7 @@ class TestHaloExchange:
             return jnp.concatenate([left, xl, right], axis=0)
 
         out = shard_map(body, mesh=mesh, in_specs=P("frames"),
-                        out_specs=P("frames"), check_rep=False)(x)
+                        out_specs=P("frames"), check_vma=False)(x)
         out = np.asarray(out).reshape(4, 7)
         # shard 1 holds frames 3..5; left halo = frames 1,2; right = 6,7
         np.testing.assert_allclose(out[1], [1, 2, 3, 4, 5, 6, 7])
