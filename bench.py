@@ -45,6 +45,7 @@ def main():
             "loss.style_layers": ("relu1_1", "relu2_1", "relu3_1",
                                   "relu4_1"),
             "loss.style_layer_weights": (1.0, 1.0, 1.0, 1.0),
+            "loss.features_dtype": "bfloat16",
             "optim.octave_n": octave_n,
             "optim.octave_scale": 1.8,
             "optim.iters": iters,

@@ -59,6 +59,9 @@ class RenderConfig:
     view_pool: int = 64
     # post-render mapping before the CNN
     gamma: float = 1.0
+    # view-rotation algorithm: 'shear' (MXU three-shear decomposition,
+    # ~150x faster on TPU) | 'gather' (exact trilinear resample)
+    rotation: str = "shear"
 
 
 @dataclass(frozen=True)
@@ -90,6 +93,9 @@ class LossConfig:
     # nfs_tpu/features/vgg.py docstring and SURVEY.md §7 step 3 risk note).
     vgg_weights: Optional[str] = None
     pool: str = "avg"  # 'avg' | 'max' pooling inside VGG
+    # VGG compute dtype: 'bfloat16' rides the MXU fast path (Gram
+    # accumulation stays f32); 'float32' for numeric tests.
+    features_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

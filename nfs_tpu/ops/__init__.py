@@ -9,6 +9,7 @@ flow.
 from nfs_tpu.ops.interp import grid_sample
 from nfs_tpu.ops.advect import advect, advect_maccormack
 from nfs_tpu.ops.rotate import rotate3d, rotation_matrix
+from nfs_tpu.ops.shear import rotate3d_shear, shear
 from nfs_tpu.ops.resize import resize, octave_shapes, octave_shape
 from nfs_tpu.ops.splat import splat, splat_normalized
 
@@ -18,6 +19,8 @@ __all__ = [
     "advect_maccormack",
     "rotate3d",
     "rotation_matrix",
+    "rotate3d_shear",
+    "shear",
     "resize",
     "octave_shapes",
     "octave_shape",

@@ -118,7 +118,7 @@ class GridStyler:
         views = self._sample_views(key, pool)
         return render_views(d_star, views[:, 0], views[:, 1],
                             transmit=rc.transmit, out_size=rc.render_size,
-                            gamma=rc.gamma)
+                            gamma=rc.gamma, method=rc.rotation)
 
     def _apply_param(self, opt_var: jax.Array, d_base: jax.Array
                      ) -> jax.Array:
@@ -133,8 +133,9 @@ class GridStyler:
             layers |= set(lc.style_layers)
         if lc.content_layer:
             layers.add(lc.content_layer)
+        dtype = jnp.bfloat16 if lc.features_dtype == "bfloat16" else None
         feats = vgg_features(data["vgg"], imgs, tuple(sorted(layers)),
-                             pool=lc.pool)
+                             pool=lc.pool, dtype=dtype)
         total = jnp.float32(0.0)
         if data["targets"] is not None and lc.w_style:
             total += lc.w_style * style_loss(

@@ -136,13 +136,15 @@ class ParticleStyler:
         if c_grid is None:
             return render_views(d_grid, views[:, 0], views[:, 1],
                                 transmit=rc.transmit,
-                                out_size=rc.render_size, gamma=rc.gamma)
+                                out_size=rc.render_size, gamma=rc.gamma,
+                                method=rc.rotation)
         # color volume: rotate density and color together per view
-        from nfs_tpu.ops.rotate import rotate3d
+        from nfs_tpu.render.raymarch import _rotate
 
         def one(t, p):
-            dr = rotate3d(d_grid, t, p, mode="zero")
-            cr = rotate3d(c_grid, t, p, mode="zero")
+            dr = _rotate(d_grid, t, p, rc.rotation)
+            cr = jnp.stack([_rotate(c_grid[..., c], t, p, rc.rotation)
+                            for c in range(3)], axis=-1)
             return raymarch(dr, transmit=rc.transmit, axis=0,
                             out_size=rc.render_size, color=cr)
 
@@ -155,8 +157,9 @@ class ParticleStyler:
             layers |= set(lc.style_layers)
         if lc.content_layer:
             layers.add(lc.content_layer)
+        dtype = jnp.bfloat16 if lc.features_dtype == "bfloat16" else None
         feats = vgg_features(data["vgg"], imgs, tuple(sorted(layers)),
-                             pool=lc.pool)
+                             pool=lc.pool, dtype=dtype)
         total = jnp.float32(0.0)
         if data["targets"] is not None and lc.w_style:
             total += lc.w_style * style_loss(
