@@ -181,19 +181,34 @@ def main(argv=None):
         from nfs_tpu.styler.grid import GridStyler
         styler = GridStyler(cfg)
         if cfg.optim.window > 0 or len(frames) > 1:
-            densities = [store.load_density(t) for t in frames]
+            from nfs_tpu.io.checkpoint import SequenceManifest
+
+            manifest = SequenceManifest(
+                os.path.join(out_dir, "manifest.json"))
+            # frame-granular resume: skip the fully-done prefix (the
+            # recursive warm-start chain restarts at the first missing
+            # frame — same seam the reference's re-run-the-frame recovery
+            # has, SURVEY.md §5)
+            start = 0
+            while start < len(frames) and manifest.done(frames[start]):
+                start += 1
+            todo = frames[start:]
+            if not todo:
+                print("all frames already stylized (manifest)")
+                return
+            densities = [store.load_density(t) for t in todo]
             vels = None
             if os.path.exists(os.path.join(
-                    cfg.data.data_dir, cfg.data.v_path % frames[0])):
-                vels = [store.load_velocity(t) for t in frames]
+                    cfg.data.data_dir, cfg.data.v_path % todo[0])):
+                vels = [store.load_velocity(t) for t in todo]
             t0 = time.time()
             for i, d_star, _ in styler.stylize_sequence(densities, vels):
-                t = frames[i]
-                if out_store.exists(cfg.data.d_path, t):
-                    continue
+                t = todo[i]
+                out_path = os.path.join(out_dir, cfg.data.d_path % t)
                 out_store.save_density(t, np.asarray(d_star))
                 preview(t, d_star)
                 dt = time.time() - t0
+                manifest.mark(t, out_path, wall_s=round(dt, 3))
                 log_metric(frame=t, wall_s=dt,
                            iters=cfg.optim.iters * cfg.optim.octave_n)
                 print(f"[frame {t}] {dt:.1f}s")

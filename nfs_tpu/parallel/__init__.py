@@ -19,10 +19,12 @@ from nfs_tpu.parallel.sharding import (
     shard_volume,
     make_sharded_window_step,
 )
+from nfs_tpu.parallel.engine import ParallelSequenceStyler
 
 __all__ = [
     "make_mesh",
     "halo_exchange",
     "shard_volume",
     "make_sharded_window_step",
+    "ParallelSequenceStyler",
 ]

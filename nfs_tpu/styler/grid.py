@@ -216,7 +216,8 @@ class GridStyler:
                       vels: Optional[np.ndarray] = None,
                       init_param: Optional[jax.Array] = None,
                       key: Optional[jax.Array] = None,
-                      callback=None):
+                      callback=None,
+                      checkpoint_path: Optional[str] = None):
         """Stylize one frame (or one temporal window around a frame).
 
         Args:
@@ -226,11 +227,19 @@ class GridStyler:
             their negation), vels[W:] are frames t..t+W-1 (forward).
           init_param: warm-start opt variable at FULL resolution (e.g. the
             previous frame's advected stylization, TNST §6 recursive init).
+          checkpoint_path: if set, {param, Adam state} is checkpointed
+            after every log_every-iteration chunk and the call RESUMES
+            from an existing checkpoint at that path (SURVEY.md §5). The
+            file is removed on successful completion.
 
         Returns:
           (d_star, param, info): stylized full-res density, final opt
           variable, dict with per-octave losses.
         """
+        import os
+
+        from nfs_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
         cfg = self.cfg
         oc = cfg.optim
         d_full = jnp.asarray(d, jnp.float32)
@@ -244,7 +253,24 @@ class GridStyler:
         loss_fn = self._get_loss_fn(d_full.ndim, window)
         info = {"octave_losses": []}
 
+        # resume from an in-frame checkpoint
+        start_octave, start_iter, restored_opt = 0, 0, None
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            with np.load(checkpoint_path) as npz:
+                import json
+                meta = json.loads(bytes(npz["__meta__"]).decode())
+            o = int(meta["octave"])
+            p_like = self.init_param(shapes[o])
+            like = {"param": p_like,
+                    "opt_state": self._optimizer.init(p_like)}
+            state, _ = load_checkpoint(checkpoint_path, like)
+            param = state["param"]
+            restored_opt = state["opt_state"]
+            start_octave, start_iter = o, int(meta["iters_done"])
+
         for o, shape in enumerate(shapes):
+            if o < start_octave:
+                continue
             param = self._resize_param(param, shape)
             d_o = resize(d_full, shape) if shape != full_shape else d_full
             data = {
@@ -259,13 +285,28 @@ class GridStyler:
                     resize(jnp.asarray(v, jnp.float32), shape,
                            is_velocity=True) for v in vels])
             key, sub = jax.random.split(key)
-            param, losses = run_octave(
+
+            state_cb = None
+            if checkpoint_path:
+                def state_cb(done, p, s, _o=o):
+                    save_checkpoint(checkpoint_path,
+                                    {"param": p, "opt_state": s},
+                                    meta={"octave": _o, "iters_done": done})
+
+            param, losses, _ = run_octave(
                 param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
                 b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
                 callback=(partial(callback, octave=o) if callback else None),
-                optimizer=self._optimizer)
+                optimizer=self._optimizer,
+                init_opt_state=(restored_opt if o == start_octave
+                                else None),
+                start_iter=(start_iter if o == start_octave else 0),
+                state_callback=state_cb)
+            restored_opt = None
             info["octave_losses"].append(losses)
 
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.unlink(checkpoint_path)
         d_star = self._apply_param(param, d_full)
         d_star = jnp.maximum(d_star, 0.0)
         return d_star, param, info

@@ -54,7 +54,10 @@ def run_octave(
     log_every: int = 10,
     callback: Callable = None,
     optimizer=None,
-) -> Tuple[object, np.ndarray]:
+    init_opt_state=None,
+    start_iter: int = 0,
+    state_callback: Callable = None,
+) -> Tuple[object, np.ndarray, object]:
     """Optimize `params` with Adam for `iters` steps.
 
     Args:
@@ -65,28 +68,44 @@ def run_octave(
       data: pytree of octave-constant arrays threaded through the scan.
       key: PRNG key; split per iteration for view sampling.
       callback: optional host fn(step, mean_chunk_loss) called between
-        chunks (logging / checkpoint hook; SURVEY.md §5 checkpoint-resume).
+        chunks (logging hook).
       optimizer: optional optax transformation with a stable identity; by
         default an optax.adam is built per call (fine for single frames —
         sequences should pass a cached one to avoid recompiles).
+      init_opt_state: resume the optimizer from a checkpointed state
+        (SURVEY.md §5 checkpoint-resume) instead of a fresh init.
+      start_iter: resume point — the first `start_iter` iterations are
+        considered already done (the per-iteration PRNG stream continues
+        from the chunk boundary, so a resumed run matches a straight run
+        chunk-for-chunk as long as log_every is unchanged).
+      state_callback: optional host fn(done, params, opt_state) called
+        after each chunk — the checkpoint hook.
 
     Returns:
-      (optimized params, (iters,) per-iteration losses).
+      (optimized params, per-iteration losses from this run, opt_state).
     """
     if optimizer is None:
         optimizer = optax.adam(lr, b1=b1, b2=b2)
-    opt_state = optimizer.init(params)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(params))
     all_losses = []
     done = 0
     while done < iters:
         n = min(log_every, iters - done)
         key, sub = jax.random.split(key)
+        if done < start_iter:  # fast-forward the PRNG stream on resume
+            done += n
+            continue
         keys = jax.random.split(sub, n)
         params, opt_state, losses = _scan_chunk(
             params, opt_state, keys, data, loss_fn, optimizer)
         done += n
         all_losses.append(np.asarray(losses))
+        # checkpoint BEFORE the logging callback: a crash in user logging
+        # must not lose the finished chunk
+        if state_callback is not None:
+            state_callback(done, params, opt_state)
         if callback is not None:
             callback(done, float(jnp.mean(losses)))
     return params, (np.concatenate(all_losses) if all_losses
-                    else np.zeros((0,), np.float32))
+                    else np.zeros((0,), np.float32)), opt_state

@@ -222,7 +222,7 @@ class ParticleStyler:
                 "targets": self.gram_targets,
             }
             key, sub = jax.random.split(key)
-            param, losses = run_octave(
+            param, losses, _ = run_octave(
                 param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
                 b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
                 callback=(partial(callback, octave=o) if callback else None),

@@ -1,0 +1,113 @@
+"""ParallelSequenceStyler end-to-end on the 8-device virtual CPU mesh:
+the REAL styler loss (render -> VGG -> Gram) jointly optimized over
+frames+views shards with window halos."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nfs_tpu.core.config import StyleConfig, replace
+from nfs_tpu.parallel import ParallelSequenceStyler, make_mesh
+from nfs_tpu.styler import GridStyler
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _cfg(n_views=2, **over):
+    base = {
+        "render.render_size": (64, 64),
+        "render.n_views": n_views,
+        "render.view_pool": 4,
+        "render.transmit": 0.5,
+        "loss.style_layers": ("relu1_1", "relu2_1"),
+        "loss.style_layer_weights": (1.0, 1.0),
+        "optim.octave_n": 1,
+        "optim.iters": 4,
+        "optim.log_every": 2,
+        "optim.window": 1,
+        "optim.lr": 0.02,
+    }
+    base.update(over)
+    return replace(StyleConfig(), **base)
+
+
+def _style():
+    return np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(0), (64, 64, 3)))
+
+
+class TestParallelEngine2D:
+    def test_joint_sequence_2d(self):
+        cfg = _cfg()
+        styler = GridStyler(cfg, style_image=_style())
+        mesh = make_mesh(frames=4, views=2)
+        engine = ParallelSequenceStyler(styler, mesh)
+        T = 8
+        rng = np.random.default_rng(0)
+        ds = rng.random((T, 24, 16)).astype(np.float32)
+        vs = 0.3 * rng.standard_normal((T, 24, 16, 2)).astype(np.float32)
+        d_star, params, info = engine.stylize(ds, vs)
+        assert d_star.shape == (T, 24, 16)
+        losses = info["octave_losses"][0]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert float(jnp.min(d_star)) >= 0.0
+
+    def test_matches_loss_scale_of_single_device(self):
+        # mean loss from the sharded step ~ mean per-frame loss of the
+        # unsharded styler loss at iteration 0 (same params=0, same data)
+        cfg = _cfg(**{"optim.window": 0, "optim.iters": 1})
+        styler = GridStyler(cfg, style_image=_style())
+        mesh = make_mesh(frames=4, views=2)
+        engine = ParallelSequenceStyler(styler, mesh)
+        T = 4
+        rng = np.random.default_rng(1)
+        ds = rng.random((T, 24, 16)).astype(np.float32)
+        _, _, info = engine.stylize(ds, None)
+        sharded_loss0 = info["octave_losses"][0][0]
+
+        loss_fn = styler._get_loss_fn(2, 0)
+        data = {"d": jnp.asarray(ds[0]), "pool": styler.view_pool,
+                "vgg": styler.vgg_params, "targets": styler.gram_targets,
+                "content": styler.content_feats}
+        single = np.mean([float(loss_fn(jnp.zeros((24, 16)),
+                                        jax.random.PRNGKey(7),
+                                        dict(data, d=jnp.asarray(ds[t]))))
+                          for t in range(T)])
+        assert sharded_loss0 == pytest.approx(single, rel=0.05)
+
+
+class TestParallelEngine3D:
+    def test_joint_sequence_3d_views_sharded(self):
+        cfg = _cfg(n_views=4, **{"optim.octave_n": 2,
+                                 "optim.octave_scale": 2.0})
+        styler = GridStyler(cfg, style_image=_style())
+        mesh = make_mesh(frames=4, views=2)
+        engine = ParallelSequenceStyler(styler, mesh)
+        T = 4
+        rng = np.random.default_rng(2)
+        ds = rng.random((T, 12, 8, 12)).astype(np.float32)
+        vs = 0.2 * rng.standard_normal((T, 12, 8, 12, 3)).astype(np.float32)
+        d_star, params, info = engine.stylize(ds, vs)
+        assert d_star.shape == (T, 12, 8, 12)
+        assert len(info["octave_losses"]) == 2
+        for losses in info["octave_losses"]:
+            assert np.isfinite(losses).all()
+
+    def test_velocity_parameterization(self):
+        cfg = _cfg(n_views=2, **{"optim.parameterization": "velocity",
+                                 "optim.window": 0})
+        styler = GridStyler(cfg, style_image=_style())
+        mesh = make_mesh(frames=8, views=1)
+        engine = ParallelSequenceStyler(styler, mesh)
+        T = 8
+        rng = np.random.default_rng(3)
+        ds = rng.random((T, 12, 8, 12)).astype(np.float32)
+        d_star, params, _ = engine.stylize(ds, None)
+        assert params.shape == (T, 12, 8, 12, 3)
+        # transport approximately conserves per-frame mass
+        m0 = ds.reshape(T, -1).sum(1)
+        m1 = np.asarray(d_star).reshape(T, -1).sum(1)
+        np.testing.assert_allclose(m1, m0, rtol=0.3)
