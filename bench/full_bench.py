@@ -1,0 +1,203 @@
+"""Full benchmark harness: all five BASELINE.json configs, measured on the
+default backend (SURVEY.md §6: "the build must create its own rigorous
+baseline ... (a) Adam iters/sec per config, (b) wall-clock/frame, (c)
+end-to-end sequence time").
+
+    python bench/full_bench.py [--quick] [--out BENCH_FULL.json]
+
+Prints one JSON line per config and writes the collected results. Run in
+the FOREGROUND (the axon TPU tunnel hangs for backgrounded processes —
+see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _styler(cfg_over, style_size=(256, 256)):
+    import jax
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.styler.grid import GridStyler
+
+    cfg = replace(StyleConfig(), **cfg_over)
+    style = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(1), tuple(style_size) + (3,)))
+    return cfg, GridStyler(cfg, style_image=style)
+
+
+def _blob(shape):
+    grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                        indexing="ij")
+    return (2.0 * np.exp(-4 * sum(g ** 2 for g in grids))).astype(
+        np.float32)
+
+
+def bench_2d_single(quick):
+    """Config #1: 2D 256x192 single-frame Gram stylization."""
+    iters = 10 if quick else 30
+    cfg, styler = _styler({
+        "render.render_size": (256, 192),
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 3, "optim.iters": iters,
+    }, style_size=(256, 192))
+    d = _blob((256, 192))
+    styler.stylize_frame(d)  # compile
+    t0 = time.time()
+    _, _, info = styler.stylize_frame(d)
+    wall = time.time() - t0
+    total = 3 * iters
+    return {"metric": "2d_256x192_frame", "iters_per_sec":
+            round(total / wall, 2), "wall_s": round(wall, 3)}
+
+
+def bench_2d_sequence(quick):
+    """Config #2: 2D sequence with window transport losses."""
+    from nfs_tpu.sim.smoke import SmokeConfig, smoke_sequence
+
+    T = 8 if quick else 24
+    iters = 10 if quick else 20
+    cfg, styler = _styler({
+        "render.render_size": (256, 192),
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 2, "optim.iters": iters, "optim.window": 1,
+    }, style_size=(256, 192))
+    ds, vs = smoke_sequence(SmokeConfig(shape=(256, 192),
+                                        jacobi_iters=20), T)
+    gen = styler.stylize_sequence(ds, vs)
+    next(gen)  # frame 0 incl. compile
+    t0 = time.time()
+    n = 0
+    for _ in gen:
+        n += 1
+    wall = (time.time() - t0) / max(n, 1)
+    return {"metric": "2d_256x192_seq_window_frame",
+            "wall_s_per_frame": round(wall, 3),
+            "iters_per_sec": round(2 * iters / wall, 2)}
+
+
+def bench_3d_single(quick):
+    """Config #3: 3D 112x64x112, 9 Poisson views (same as bench.py)."""
+    iters = 10 if quick else 20
+    cfg, styler = _styler({
+        "render.render_size": (256, 256),
+        "render.n_views": 9, "render.transmit": 0.01,
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 3, "optim.iters": iters,
+    })
+    d = _blob((112, 64, 112))
+    styler.stylize_frame(d)
+    t0 = time.time()
+    styler.stylize_frame(d)
+    wall = time.time() - t0
+    return {"metric": "3d_112x64x112_9view_frame",
+            "iters_per_sec": round(3 * iters / wall, 2),
+            "wall_s": round(wall, 3)}
+
+
+def bench_3d_sequence_velocity(quick):
+    """Config #4: 3D sequence, velocity (transport) parameterization,
+    multi-scale octaves, window transport."""
+    from nfs_tpu.sim.smoke import SmokeConfig, smoke_sequence
+
+    T = 3 if quick else 6
+    iters = 8 if quick else 20
+    cfg, styler = _styler({
+        "render.render_size": (256, 256),
+        "render.n_views": 9, "render.transmit": 0.01,
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 2, "optim.iters": iters, "optim.window": 1,
+        "optim.parameterization": "velocity",
+    })
+    shape = (64, 48, 64) if quick else (112, 64, 112)
+    ds, vs = smoke_sequence(SmokeConfig(
+        shape=shape, source_center=(0.5, 0.85, 0.5), jacobi_iters=15), T)
+    gen = styler.stylize_sequence(ds, vs)
+    next(gen)
+    t0 = time.time()
+    n = 0
+    for _ in gen:
+        n += 1
+    wall = (time.time() - t0) / max(n, 1)
+    return {"metric": "3d_seq_velocity_window_frame",
+            "shape": list(shape),
+            "wall_s_per_frame": round(wall, 3)}
+
+
+def bench_particles(quick):
+    """Config #5: LNST particle splat -> render -> per-particle opt."""
+    import jax
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.core.pytrees import ParticleSet
+    from nfs_tpu.styler.particle import ParticleStyler
+    import jax.numpy as jnp
+
+    n_p = 50_000 if quick else 200_000
+    iters = 10 if quick else 30
+    cfg = replace(StyleConfig(), **{
+        "render.render_size": (256, 256),
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 2, "optim.iters": iters,
+        "particle.optimize_position": True,
+        "particle.optimize_density": True,
+    })
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                          (256, 256, 3)))
+    grid = (128, 128)
+    styler = ParticleStyler(cfg, grid_shape=grid, style_image=style)
+    rng = np.random.default_rng(0)
+    pset = ParticleSet(
+        x=jnp.asarray(rng.random((n_p, 2)) * 100 + 14, jnp.float32),
+        dens=jnp.ones((n_p,), jnp.float32))
+    styler.stylize_frame(pset)
+    t0 = time.time()
+    styler.stylize_frame(pset)
+    wall = time.time() - t0
+    return {"metric": "lnst_particles_frame", "n_particles": n_p,
+            "iters_per_sec": round(2 * iters / wall, 2),
+            "wall_s": round(wall, 3)}
+
+
+BENCHES = {
+    "2d_single": bench_2d_single,
+    "2d_sequence": bench_2d_sequence,
+    "3d_single": bench_3d_single,
+    "3d_seq_velocity": bench_3d_sequence_velocity,
+    "particles": bench_particles,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--only", choices=sorted(BENCHES), default=None)
+    p.add_argument("--out", default="BENCH_FULL.json")
+    args = p.parse_args()
+
+    import jax
+
+    results = {"device": str(jax.devices()[0])}
+    for name, fn in BENCHES.items():
+        if args.only and name != args.only:
+            continue
+        try:
+            r = fn(args.quick)
+        except Exception as e:  # keep going; record the failure
+            r = {"error": f"{type(e).__name__}: {e}"}
+        results[name] = r
+        print(json.dumps({name: r}), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

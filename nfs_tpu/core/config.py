@@ -118,6 +118,11 @@ class OptimConfig:
     window_sigma: float = 1.0
     # log/checkpoint cadence: the jitted fori_loop runs in chunks this big
     log_every: int = 10
+    # bound (cells) on per-step advection displacement inside the loss
+    # pipeline. Non-None switches advection to the gather-free window
+    # formulation (nfs_tpu/ops/advect.py) — ~20x faster transposes on TPU;
+    # displacements are clamped to +-max_disp (a CFL-style regularizer).
+    max_disp: Optional[float] = 2.0
     # Adam moments
     b1: float = 0.9
     b2: float = 0.999

@@ -8,9 +8,17 @@ is what makes semi-Lagrangian advection differentiable w.r.t. velocity
 (TNST §4.2) and splatting differentiable w.r.t. particle positions
 (LNST §4.1).
 
-TPU notes: lowers to 2**ndim gathers + VPU lerps. XLA handles the fusion;
-a Pallas gather kernel is the planned escalation if profiling shows the
-gather dominating (SURVEY.md §7 "hard parts" #1).
+TPU performance: the forward lowers to 2**ndim gathers + VPU lerps, which
+XLA handles well (~0.03 ms for 112x64x112). XLA's *automatic* backward,
+however, profiled at 69 ms (w.r.t. coords) / 112 ms (w.r.t. field) on
+v5e — so this op carries a custom VJP:
+
+  - grad w.r.t. coords = 2**ndim gathers + tent-weight derivatives
+    (forward-speed, no scatter);
+  - grad w.r.t. field  = ONE flat scatter-add of all corner
+    contributions (sentinel-dropped out-of-bounds), the same
+    amortization trick as nfs_tpu.ops.splat (~2.3x over per-corner
+    scatters).
 """
 
 from __future__ import annotations
@@ -22,8 +30,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _corner_value(field, lo, corner, spatial_shape, mode):
-    """Gather field values at integer corner offsets, handling boundary."""
+def _corner_gather(field, lo, corner, spatial_shape, mode):
+    """Gather field values at integer corner offsets, handling boundary.
+    Returns (values, inside_mask or None)."""
     ndim = len(spatial_shape)
     idx = []
     inside = None
@@ -43,6 +52,109 @@ def _corner_value(field, lo, corner, spatial_shape, mode):
     return vals
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _grid_sample_impl(field, coords, mode):
+    ndim = coords.shape[-1]
+    spatial_shape = field.shape[:ndim]
+    has_channels = field.ndim > ndim
+
+    coords = coords.astype(jnp.float32)
+    lo_f = jnp.floor(coords)
+    frac = coords - lo_f
+    lo = lo_f.astype(jnp.int32)
+
+    out = None
+    for corner in itertools.product((0, 1), repeat=ndim):
+        w = jnp.ones(coords.shape[:-1], dtype=field.dtype)
+        for d in range(ndim):
+            w = w * (frac[..., d] if corner[d] else 1.0 - frac[..., d])
+        vals = _corner_gather(field, lo, corner, spatial_shape, mode)
+        if has_channels:
+            w = w[..., None]
+        term = w * vals
+        out = term if out is None else out + term
+    return out
+
+
+def _gs_fwd(field, coords, mode):
+    return _grid_sample_impl(field, coords, mode), (field, coords)
+
+
+def _gs_bwd(mode, res, g):
+    field, coords = res
+    ndim = coords.shape[-1]
+    spatial_shape = field.shape[:ndim]
+    has_channels = field.ndim > ndim
+    n_ch = field.shape[-1] if has_channels else 1
+
+    coords32 = coords.astype(jnp.float32)
+    lo_f = jnp.floor(coords32)
+    frac = coords32 - lo_f
+    lo = lo_f.astype(jnp.int32)
+
+    n_cells = 1
+    for s in spatial_shape:
+        n_cells *= s
+
+    grad_coords = jnp.zeros_like(coords32)
+    flat_idxs = []
+    flat_vals = []
+    g_flatbatch = g.reshape((-1, n_ch)) if has_channels \
+        else g.reshape((-1, 1))
+
+    for corner in itertools.product((0, 1), repeat=ndim):
+        # per-axis weights
+        w_ax = []
+        for d in range(ndim):
+            w_ax.append(frac[..., d] if corner[d] else 1.0 - frac[..., d])
+        # --- grad wrt field: one corner's contribution to the flat scatter
+        w_all = jnp.ones(coords.shape[:-1], dtype=field.dtype)
+        for d in range(ndim):
+            w_all = w_all * w_ax[d]
+        flat = jnp.zeros(coords.shape[:-1], dtype=jnp.int32)
+        ok = jnp.ones(coords.shape[:-1], dtype=bool)
+        for d in range(ndim):
+            i = lo[..., d] + corner[d]
+            ok = ok & (i >= 0) & (i <= spatial_shape[d] - 1)
+            flat = flat * spatial_shape[d] + jnp.clip(
+                i, 0, spatial_shape[d] - 1)
+        if mode == "zero":
+            # out-of-bounds corners contributed nothing -> drop
+            flat = jnp.where(ok, flat, n_cells)
+        # clamp mode: clipped corners DID contribute at the edge cell, and
+        # `flat` already uses the clipped per-axis indices.
+        flat_idxs.append(flat.reshape(-1))
+        flat_vals.append((w_all.reshape(-1)[:, None] * g_flatbatch
+                          ).astype(field.dtype))
+
+        # --- grad wrt coords
+        vals = _corner_gather(field, lo, corner, spatial_shape, mode)
+        gv = g * vals  # (..., C) or (...)
+        gv_sum = jnp.sum(gv, axis=-1) if has_channels else gv
+        for d in range(ndim):
+            dw = jnp.ones(coords.shape[:-1], dtype=jnp.float32)
+            for d2 in range(ndim):
+                if d2 == d:
+                    dw = dw * (1.0 if corner[d2] else -1.0)
+                else:
+                    dw = dw * w_ax[d2]
+            grad_coords = grad_coords.at[..., d].add(
+                dw * gv_sum.astype(jnp.float32))
+
+    idx = jnp.concatenate(flat_idxs)
+    vals = jnp.concatenate(flat_vals)
+    gf = jnp.zeros((n_cells, n_ch), dtype=field.dtype)
+    gf = gf.at[idx].add(vals, mode="drop")
+    if has_channels:
+        grad_field = gf.reshape(spatial_shape + (n_ch,))
+    else:
+        grad_field = gf[:, 0].reshape(spatial_shape)
+    return grad_field, grad_coords.astype(coords.dtype)
+
+
+_grid_sample_impl.defvjp(_gs_fwd, _gs_bwd)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def grid_sample(field: jax.Array, coords: jax.Array, mode: str = "clamp"):
     """Sample `field` at fractional index coordinates.
@@ -59,26 +171,7 @@ def grid_sample(field: jax.Array, coords: jax.Array, mode: str = "clamp"):
     if mode not in ("clamp", "zero"):
         raise ValueError(f"unknown boundary mode {mode!r}; "
                          "expected 'clamp' or 'zero'")
-    ndim = coords.shape[-1]
-    spatial_shape = field.shape[:ndim]
-    has_channels = field.ndim > ndim
-
-    coords = coords.astype(jnp.float32)
-    lo_f = jnp.floor(coords)
-    frac = coords - lo_f
-    lo = lo_f.astype(jnp.int32)
-
-    out = None
-    for corner in itertools.product((0, 1), repeat=ndim):
-        w = jnp.ones(coords.shape[:-1], dtype=field.dtype)
-        for d in range(ndim):
-            w = w * (frac[..., d] if corner[d] else 1.0 - frac[..., d])
-        vals = _corner_value(field, lo, corner, spatial_shape, mode)
-        if has_channels:
-            w = w[..., None]
-        term = w * vals
-        out = term if out is None else out + term
-    return out
+    return _grid_sample_impl(field, coords, mode)
 
 
 def identity_coords(shape) -> jax.Array:

@@ -77,14 +77,15 @@ class ParallelSequenceStyler:
             else:
                 total = weights[window] * styler._image_loss(
                     render_imgs(d_star, views_i), aux)
+                md = cfg.optim.max_disp
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, vels_w[window + j - 1])
+                    d_j = advect(d_j, vels_w[window + j - 1], max_disp=md)
                     total += weights[window + j] * styler._image_loss(
                         render_imgs(d_j, views_i), aux)
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, -vels_w[window - j])
+                    d_j = advect(d_j, -vels_w[window - j], max_disp=md)
                     total += weights[window - j] * styler._image_loss(
                         render_imgs(d_j, views_i), aux)
             if cfg.loss.w_tv:

@@ -90,6 +90,9 @@ class SmokeConfig:
     source_radius: float = 0.08
     source_rate: float = 0.6
     dt: float = 1.0
+    # CFL-style displacement bound enabling the gather-free advection path
+    # (nfs_tpu/ops/advect.py) — ~20x faster steps on TPU
+    max_disp: float = 3.0
 
 
 class SmokeSolver:
@@ -116,9 +119,10 @@ class SmokeSolver:
         # 1. inflow
         d = jnp.clip(d + cfg.source_rate * self.source * cfg.dt, 0.0, 2.0)
         # 2. advect density & velocity (MacCormack for velocity)
-        d = advect(d, v, dt=cfg.dt)
+        d = advect(d, v, dt=cfg.dt, max_disp=cfg.max_disp)
         v = jnp.stack(
-            [advect_maccormack(v[..., i], v, dt=cfg.dt)
+            [advect_maccormack(v[..., i], v, dt=cfg.dt,
+                               max_disp=cfg.max_disp)
              for i in range(ndim)], axis=-1)
         # 3. buoyancy (up = negative index direction on the up axis)
         v = v.at[..., self.up_axis].add(-cfg.buoyancy * d * cfg.dt)

@@ -123,7 +123,8 @@ class GridStyler:
     def _apply_param(self, opt_var: jax.Array, d_base: jax.Array
                      ) -> jax.Array:
         if self.cfg.optim.parameterization == "velocity":
-            return advect(d_base, opt_var)
+            return advect(d_base, opt_var,
+                          max_disp=self.cfg.optim.max_disp)
         return d_base + opt_var
 
     def _image_loss(self, imgs: jax.Array, data) -> jax.Array:
@@ -178,15 +179,16 @@ class GridStyler:
                 total = weights[window] * self._image_loss(
                     self._render(d_star, keys[window], pool), data)
                 # forward transport through sim velocities (TNST §6)
+                md = cfg.optim.max_disp
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, vels[window + j - 1])
+                    d_j = advect(d_j, vels[window + j - 1], max_disp=md)
                     total += weights[window + j] * self._image_loss(
                         self._render(d_j, keys[window + j], pool), data)
                 # backward transport (inverse advection approximation)
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, -vels[window - j])
+                    d_j = advect(d_j, -vels[window - j], max_disp=md)
                     total += weights[window - j] * self._image_loss(
                         self._render(d_j, keys[window - j], pool), data)
             if cfg.loss.w_tv:
@@ -341,7 +343,8 @@ class GridStyler:
             if param is not None and velocities is not None:
                 # recursive init: transport previous stylization forward
                 v_prev = jnp.asarray(velocities[max(t - 1, 0)], jnp.float32)
-                param = advect(param, v_prev)
+                param = advect(param, v_prev,
+                               max_disp=cfg.optim.max_disp)
             key, sub = jax.random.split(key)
             d_star, param, _ = self.stylize_frame(
                 np.asarray(densities[t]), vels=vels_win, init_param=param,

@@ -210,3 +210,55 @@ class TestSplat:
             dtype=jnp.float32)
         vals = gather(grid, x)
         np.testing.assert_allclose(np.asarray(vals), 7.0, atol=1e-4)
+
+
+class TestAdvectWindow:
+    """Gather-free bounded-displacement advection (TPU fast path)."""
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    @pytest.mark.parametrize("mode", ["clamp", "zero"])
+    def test_matches_gather_path(self, dim, mode):
+        rng = np.random.default_rng(20)
+        shape = (14,) * dim
+        field = jnp.asarray(rng.random(shape), jnp.float32)
+        vel = jnp.asarray(0.9 * rng.standard_normal(shape + (dim,)),
+                          jnp.float32)
+        fast = advect(field, vel, mode=mode, max_disp=2.0)
+        ref = advect(field, jnp.clip(vel, -2.0, 2.0), mode=mode)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_clamps_large_displacement(self):
+        field = jnp.zeros((16, 16)).at[8, 8].set(1.0)
+        vel = jnp.full((16, 16, 2), 5.0)  # beyond max_disp
+        out = advect(field, vel, max_disp=2.0)
+        # displacement clamped to 2: mass lands at (6, 6) backtraced
+        assert float(out[10, 10]) == pytest.approx(1.0, abs=1e-5)
+
+    def test_channels(self):
+        rng = np.random.default_rng(21)
+        field = jnp.asarray(rng.random((12, 12, 3)), jnp.float32)
+        vel = jnp.asarray(0.5 * rng.standard_normal((12, 12, 2)),
+                          jnp.float32)
+        fast = advect(field, vel, max_disp=1.0)
+        ref = advect(field, jnp.clip(vel, -1, 1))
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_grad_matches_gather_path(self):
+        rng = np.random.default_rng(22)
+        field = jnp.asarray(rng.random((10, 10)), jnp.float32)
+        vel = jnp.asarray(0.4 * rng.standard_normal((10, 10, 2)),
+                          jnp.float32)
+        g_fast = jax.grad(
+            lambda v: jnp.sum(advect(field, v, max_disp=2.0) ** 2))(vel)
+        g_ref = jax.grad(
+            lambda v: jnp.sum(advect(field, v) ** 2))(vel)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+        gf_fast = jax.grad(
+            lambda f: jnp.sum(advect(f, vel, max_disp=2.0) ** 2))(field)
+        gf_ref = jax.grad(lambda f: jnp.sum(advect(f, vel) ** 2))(field)
+        np.testing.assert_allclose(np.asarray(gf_fast),
+                                   np.asarray(gf_ref), atol=1e-4,
+                                   rtol=1e-3)
