@@ -62,6 +62,13 @@ class RenderConfig:
     # view-rotation algorithm: 'shear' (MXU three-shear decomposition,
     # ~150x faster on TPU) | 'gather' (exact trilinear resample)
     rotation: str = "shear"
+    # scale the render resolution down with coarse octaves (true multi-
+    # scale: a 2x-coarser volume is rendered/stylized at 2x-coarser
+    # images, cutting VGG cost at early octaves). Disabled automatically
+    # when a content target is set (its features are size-bound).
+    scale_with_octave: bool = True
+    # floor for the scaled render size
+    min_render_size: int = 64
 
 
 @dataclass(frozen=True)

@@ -109,15 +109,17 @@ class GridStyler:
         return sample_views_stratified(
             key, rc.n_views, (rc.theta0, rc.theta1), (rc.phi0, rc.phi1))
 
-    def _render(self, d_star: jax.Array, key: jax.Array, pool) -> jax.Array:
+    def _render(self, d_star: jax.Array, key: jax.Array, pool,
+                render_size=None) -> jax.Array:
         """d* -> (N, H, W, 3) images for the CNN."""
         rc = self.cfg.render
+        render_size = render_size or rc.render_size
         if d_star.ndim == 2:
-            return render2d(d_star, out_size=rc.render_size,
+            return render2d(d_star, out_size=render_size,
                             gamma=rc.gamma)[None]
         views = self._sample_views(key, pool)
         return render_views(d_star, views[:, 0], views[:, 1],
-                            transmit=rc.transmit, out_size=rc.render_size,
+                            transmit=rc.transmit, out_size=render_size,
                             gamma=rc.gamma, method=rc.rotation)
 
     def _apply_param(self, opt_var: jax.Array, d_base: jax.Array
@@ -157,9 +159,21 @@ class GridStyler:
         w = jnp.exp(-0.5 * (j / max(oc.window_sigma, 1e-6)) ** 2)
         return w / jnp.sum(w)
 
-    def _get_loss_fn(self, ndim: int, window: int):
+    def _octave_render_size(self, octave_shape, full_shape):
+        """Per-octave render resolution (render.scale_with_octave)."""
+        rc = self.cfg.render
+        if not rc.scale_with_octave or self.content_feats is not None:
+            return rc.render_size
+        factor = max(octave_shape[0] / full_shape[0],
+                     octave_shape[-1] / full_shape[-1])
+        return tuple(
+            max(rc.min_render_size, int(round(s * factor / 8)) * 8)
+            for s in rc.render_size)
+
+    def _get_loss_fn(self, ndim: int, window: int, render_size=None):
         """Stable-identity loss closure per structural signature."""
-        sig = (ndim, window)
+        render_size = render_size or self.cfg.render.render_size
+        sig = (ndim, window, tuple(render_size))
         if sig in self._loss_cache:
             return self._loss_cache[sig]
 
@@ -171,26 +185,29 @@ class GridStyler:
             pool = data["pool"]
             d_star = self._apply_param(opt_var, d_base)
             if window == 0:
-                total = self._image_loss(self._render(d_star, key, pool),
-                                         data)
+                total = self._image_loss(
+                    self._render(d_star, key, pool, render_size), data)
             else:
                 vels = data["vels"]
                 keys = jax.random.split(key, 2 * window + 1)
                 total = weights[window] * self._image_loss(
-                    self._render(d_star, keys[window], pool), data)
+                    self._render(d_star, keys[window], pool, render_size),
+                    data)
                 # forward transport through sim velocities (TNST §6)
                 md = cfg.optim.max_disp
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, vels[window + j - 1], max_disp=md)
                     total += weights[window + j] * self._image_loss(
-                        self._render(d_j, keys[window + j], pool), data)
+                        self._render(d_j, keys[window + j], pool,
+                                     render_size), data)
                 # backward transport (inverse advection approximation)
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, -vels[window - j], max_disp=md)
                     total += weights[window - j] * self._image_loss(
-                        self._render(d_j, keys[window - j], pool), data)
+                        self._render(d_j, keys[window - j], pool,
+                                     render_size), data)
             if cfg.loss.w_tv:
                 total += cfg.loss.w_tv * tv_loss(opt_var, ndim=ndim)
             return total
@@ -252,7 +269,6 @@ class GridStyler:
         shapes = octave_shapes(full_shape, oc.octave_n, oc.octave_scale)
         param = (init_param if init_param is not None
                  else self.init_param(full_shape))
-        loss_fn = self._get_loss_fn(d_full.ndim, window)
         info = {"octave_losses": []}
 
         # resume from an in-frame checkpoint
@@ -287,6 +303,9 @@ class GridStyler:
                     resize(jnp.asarray(v, jnp.float32), shape,
                            is_velocity=True) for v in vels])
             key, sub = jax.random.split(key)
+            loss_fn = self._get_loss_fn(
+                d_full.ndim, window,
+                self._octave_render_size(shape, full_shape))
 
             state_cb = None
             if checkpoint_path:

@@ -28,7 +28,8 @@ import numpy as np
 import optax
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "optimizer"))
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer"),
+         donate_argnums=(0, 1))
 def _scan_chunk(params, opt_state, keys, data, loss_fn, optimizer):
     def step(carry, key):
         p, s = carry
@@ -88,24 +89,30 @@ def run_octave(
         optimizer = optax.adam(lr, b1=b1, b2=b2)
     opt_state = (init_opt_state if init_opt_state is not None
                  else optimizer.init(params))
+    # no observers => run the whole octave as ONE device dispatch (each
+    # chunk boundary otherwise costs a host sync, which over a remote TPU
+    # tunnel is an RTT)
+    chunk = log_every if (callback is not None
+                          or state_callback is not None) else iters
     all_losses = []
     done = 0
     while done < iters:
-        n = min(log_every, iters - done)
+        n = min(chunk, iters - done)
         key, sub = jax.random.split(key)
-        if done < start_iter:  # fast-forward the PRNG stream on resume
+        if done + n <= start_iter:  # fast-forward PRNG stream on resume
             done += n
             continue
         keys = jax.random.split(sub, n)
         params, opt_state, losses = _scan_chunk(
             params, opt_state, keys, data, loss_fn, optimizer)
         done += n
-        all_losses.append(np.asarray(losses))
+        all_losses.append(losses)  # stays on device until the end
         # checkpoint BEFORE the logging callback: a crash in user logging
         # must not lose the finished chunk
         if state_callback is not None:
             state_callback(done, params, opt_state)
         if callback is not None:
             callback(done, float(jnp.mean(losses)))
-    return params, (np.concatenate(all_losses) if all_losses
-                    else np.zeros((0,), np.float32)), opt_state
+    losses_np = (np.asarray(jnp.concatenate(all_losses)) if all_losses
+                 else np.zeros((0,), np.float32))
+    return params, losses_np, opt_state
