@@ -130,6 +130,11 @@ class OptimConfig:
     # formulation (nfs_tpu/ops/advect.py) — ~20x faster transposes on TPU;
     # displacements are clamped to +-max_disp (a CFL-style regularizer).
     max_disp: Optional[float] = 2.0
+    # tighter bound for the OPTIMIZED stylization velocity field v_hat
+    # (TNST §4.2): its displacements are small perturbations, and the
+    # window tap count scales with (2*ceil(bound)+3)^d — bound 1 uses
+    # 125 taps vs 343 for bound 2 in 3D.
+    param_max_disp: Optional[float] = 1.0
     # Adam moments
     b1: float = 0.9
     b2: float = 0.999

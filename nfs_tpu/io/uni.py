@@ -202,3 +202,58 @@ def write_uni_particles(path: str, pos: np.ndarray, grid_dim=(0, 0, 0),
         blob = gzip.compress(blob, compresslevel=1)
     with open(path, "wb") as f:
         f.write(blob)
+
+
+def read_uni_pdata(path: str) -> Tuple[np.ndarray, UniHeader]:
+    """Read a mantaflow particle-data .uni (PD01): per-particle scalar
+    (N,), int (N,), or Vec3 (N, 3) attribute arrays (the pdata files that
+    accompany PB02 particle systems)."""
+    with open(path, "rb") as f:
+        data = _maybe_decompress(f.read())
+    magic = data[:4].decode("ascii", errors="replace")
+    if magic != "PD01":
+        raise ValueError(f"not a particle-data .uni file (magic={magic!r})")
+    # header: dim (N), dimX/Y/Z (unused), elementType, bytesPerElement,
+    # info[256], timestamp — same struct family as PB02
+    for fmt in (_PB02_ALIGNED, _PB02_PACKED):
+        size = struct.calcsize(fmt)
+        if len(data) < 4 + size:
+            continue
+        n, dx, dy, dz, elem_type, bpe, info, ts = struct.unpack_from(
+            fmt, data, 4)
+        if len(data) - 4 - size == n * bpe and 0 < bpe <= 64:
+            dtype = np.int32 if elem_type == 0 else np.float32
+            raw = np.frombuffer(data, dtype=dtype, offset=4 + size)
+            n_comp = bpe // 4
+            arr = raw.reshape(n, n_comp) if n_comp > 1 else raw.copy()
+            header = UniHeader(
+                magic=magic, dim=(dx, dy, dz), grid_type=0,
+                element_type=elem_type, bytes_per_element=bpe,
+                info=info.split(b"\x00")[0].decode("utf-8",
+                                                   errors="replace"),
+                dim_t=1, timestamp=ts)
+            return np.ascontiguousarray(arr), header
+    raise ValueError("could not parse particle-data .uni header")
+
+
+def write_uni_pdata(path: str, arr: np.ndarray, info: str = "nfs_tpu",
+                    compress: bool = True) -> None:
+    """Write per-particle data as PD01: (N,) float/int or (N, 3) float."""
+    arr = np.asarray(arr)
+    n = arr.shape[0]
+    if arr.ndim == 2:
+        elem_type, bpe = 2, 4 * arr.shape[1]
+        payload = np.ascontiguousarray(arr, dtype=np.float32)
+    elif np.issubdtype(arr.dtype, np.integer):
+        elem_type, bpe = 0, 4
+        payload = np.ascontiguousarray(arr, dtype=np.int32)
+    else:
+        elem_type, bpe = 1, 4
+        payload = np.ascontiguousarray(arr, dtype=np.float32)
+    head = struct.pack(_PB02_ALIGNED, n, 0, 0, 0, elem_type, bpe,
+                       info.encode("utf-8")[:255], int(time.time()))
+    blob = b"PD01" + head + payload.tobytes()
+    if compress:
+        blob = gzip.compress(blob, compresslevel=1)
+    with open(path, "wb") as f:
+        f.write(blob)

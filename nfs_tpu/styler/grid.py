@@ -126,7 +126,7 @@ class GridStyler:
                      ) -> jax.Array:
         if self.cfg.optim.parameterization == "velocity":
             return advect(d_base, opt_var,
-                          max_disp=self.cfg.optim.max_disp)
+                          max_disp=self.cfg.optim.param_max_disp)
         return d_base + opt_var
 
     def _image_loss(self, imgs: jax.Array, data) -> jax.Array:

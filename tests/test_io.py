@@ -109,3 +109,31 @@ class TestUni:
             f.write(b"XXXX" + b"\x00" * 300)
         with pytest.raises(ValueError):
             read_uni(path)
+
+
+class TestUniPdata:
+    def test_scalar_roundtrip(self, tmp_path):
+        from nfs_tpu.io.uni import read_uni_pdata, write_uni_pdata
+        vals = np.random.default_rng(9).random(40).astype(np.float32)
+        path = str(tmp_path / "pd.uni")
+        write_uni_pdata(path, vals)
+        out, header = read_uni_pdata(path)
+        np.testing.assert_array_equal(out, vals)
+        assert header.magic == "PD01"
+
+    def test_vec3_roundtrip(self, tmp_path):
+        from nfs_tpu.io.uni import read_uni_pdata, write_uni_pdata
+        vals = np.random.default_rng(10).random((25, 3)).astype(np.float32)
+        path = str(tmp_path / "pdv.uni")
+        write_uni_pdata(path, vals)
+        out, _ = read_uni_pdata(path)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_int_roundtrip(self, tmp_path):
+        from nfs_tpu.io.uni import read_uni_pdata, write_uni_pdata
+        vals = np.arange(17, dtype=np.int32)
+        path = str(tmp_path / "pdi.uni")
+        write_uni_pdata(path, vals)
+        out, _ = read_uni_pdata(path)
+        assert out.dtype == np.int32
+        np.testing.assert_array_equal(out, vals)
