@@ -105,10 +105,11 @@ def _advect_window(field: jax.Array, vel: jax.Array, dt: float,
     return acc
 
 
-@partial(jax.jit, static_argnames=("mode", "max_disp"))
+@partial(jax.jit, static_argnames=("mode", "max_disp", "impl"))
 def advect(field: jax.Array, vel: jax.Array, dt: float = 1.0,
            mode: str = "clamp",
-           max_disp: Optional[float] = None) -> jax.Array:
+           max_disp: Optional[float] = None,
+           impl: str = "auto") -> jax.Array:
     """Semi-Lagrangian advection.
 
     Args:
@@ -121,8 +122,28 @@ def advect(field: jax.Array, vel: jax.Array, dt: float = 1.0,
         formulation (see _advect_window) — displacements are clamped to
         +-max_disp cells. None = exact gather path (arbitrary
         displacement, slow transposes on TPU).
+      impl: window-path backend. 'xla' (and 'auto') uses the XLA window
+        formulation; 'pallas' forces the fused Pallas slab kernels
+        (nfs_tpu/ops/pallas_advect.py; 3D scalar clamp-mode only) —
+        measured 2.8x faster FORWARD on v5e at 112x64x112 (0.89 vs
+        2.48 ms) but only ~1.1x on the full VJP, and slower at
+        small/narrow shapes where its 128-lane padding dominates, so it
+        is opt-in for forward-heavy large-volume paths rather than the
+        default.
     """
     if max_disp is not None:
+        if impl == "pallas":
+            if not (field.ndim == 3 and vel.shape == field.shape + (3,)
+                    and mode == "clamp"):
+                raise ValueError(
+                    "impl='pallas' supports 3D scalar clamp-mode fields")
+            from nfs_tpu.ops.pallas_advect import advect_pallas
+
+            # dt is traced under this jit; fold it into the velocity so
+            # the custom_vjp's nondiff dt stays a literal (chain rule
+            # through the multiply recovers the dt factor in grads).
+            return advect_pallas(field, vel * dt, 1.0, max_disp).astype(
+                field.dtype)
         return _advect_window(field, vel, dt, mode, max_disp)
     ndim = vel.shape[-1]
     coords = identity_coords(vel.shape[:-1]) - dt * vel.astype(jnp.float32)
