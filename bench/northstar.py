@@ -1,0 +1,114 @@
+"""North-star benchmark (BASELINE.json): stylize a 200-frame 112x64x112
+smoke sequence END-TO-END and report wall-clock. Target: < 10 min on
+v5e-8; this measures the single-chip sequential path (the
+ParallelSequenceStyler spreads frames across a mesh on real multi-chip
+hardware).
+
+    python bench/northstar.py [--frames 200] [--iters 10]
+
+Run in the FOREGROUND (axon tunnel hangs for backgrounded processes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--iters", type=int, default=10,
+                   help="per octave; sequence frames warm-start from the "
+                        "advected previous solution (TNST §6), needing "
+                        "fewer iterations than a cold single frame")
+    p.add_argument("--window", type=int, default=1)
+    args = p.parse_args()
+
+    import jax
+
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.sim.smoke import SmokeConfig, smoke_sequence
+    from nfs_tpu.styler.grid import GridStyler
+
+    t_all = time.time()
+    # 1. data generation (self-contained; excluded from the stylization
+    #    clock like the reference's offline mantaflow step). Cached on
+    #    disk so repeat benchmark runs skip it.
+    import os
+    cache = f"/tmp/northstar_{args.frames}.npz"
+    t0 = time.time()
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            ds, vs = z["d"], z["v"]
+        t_sim = time.time() - t0
+        print(f"sim: loaded cache in {t_sim:.1f}s", flush=True)
+    else:
+        ds, vs = smoke_sequence(
+            SmokeConfig(shape=(112, 64, 112),
+                        source_center=(0.5, 0.85, 0.5),
+                        jacobi_iters=20, max_disp=2.0),
+            args.frames, warmup=10)
+        np.savez(cache, d=ds, v=vs)
+        t_sim = time.time() - t0
+        print(f"sim: {args.frames} frames in {t_sim:.1f}s", flush=True)
+
+    cfg = replace(StyleConfig(), **{
+        "render.render_size": (256, 256),
+        "render.n_views": 9,
+        "render.transmit": 0.01,
+        "loss.style_layers": ("relu1_1", "relu2_1", "relu3_1", "relu4_1"),
+        "loss.style_layer_weights": (1.0, 1.0, 1.0, 1.0),
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 3,
+        "optim.octave_scale": 1.8,
+        "optim.iters": args.iters,
+        "optim.lr": 0.02,
+        "optim.window": args.window,
+    })
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                          (256, 256, 3)))
+    styler = GridStyler(cfg, style_image=style)
+
+    t0 = time.time()
+    n_done = 0
+    t_first = None
+    for t, d_star, _ in styler.stylize_sequence(ds, vs):
+        n_done += 1
+        if n_done == 1:
+            np.asarray(d_star)
+            t_first = time.time() - t0
+            print(f"frame 0 (incl. compiles): {t_first:.1f}s", flush=True)
+        elif n_done % 25 == 0:
+            print(f"frame {t}: {(time.time() - t0):.1f}s elapsed",
+                  flush=True)
+    np.asarray(d_star)
+    wall = time.time() - t0
+    result = {
+        "metric": "200frame_112x64x112_sequence_end_to_end_s",
+        "value": round(wall, 1),
+        "unit": "s",
+        "frames": args.frames,
+        "iters_per_octave": args.iters,
+        "window": args.window,
+        "s_per_frame_steady": round((wall - t_first) / max(n_done - 1, 1),
+                                    3),
+        "sim_gen_s": round(t_sim, 1),
+        "north_star_target_s": 600,
+        "beats_target_single_chip": wall < 600,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result), flush=True)
+    with open("BENCH_NORTHSTAR.json", "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -299,9 +299,12 @@ class GridStyler:
                 "content": self.content_feats,
             }
             if window:
-                data["vels"] = jnp.stack([
-                    resize(jnp.asarray(v, jnp.float32), shape,
-                           is_velocity=True) for v in vels])
+                vels_dev = jnp.asarray(vels, jnp.float32)
+                if tuple(vels_dev.shape[1:-1]) != tuple(shape):
+                    vels_dev = jnp.stack([
+                        resize(v, shape, is_velocity=True)
+                        for v in vels_dev])
+                data["vels"] = vels_dev
             key, sub = jax.random.split(key)
             loss_fn = self._get_loss_fn(
                 d_full.ndim, window,
@@ -351,21 +354,24 @@ class GridStyler:
         T = len(densities)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         param = None
+        # ONE bulk host->device upload; per-frame transfers over a remote
+        # TPU tunnel cost ~an RTT each and dominated sequence time.
+        densities = jnp.asarray(densities, jnp.float32)
+        if velocities is not None:
+            velocities = jnp.asarray(velocities, jnp.float32)
 
         for t in range(0, T, cfg.data.frame_stride):
             vels_win = None
             if W > 0 and velocities is not None:
                 idx = [max(t - W + j, 0) for j in range(W)] + \
                       [min(t + j, T - 1) for j in range(W)]
-                vels_win = np.stack([np.asarray(velocities[i])
-                                     for i in idx])
+                vels_win = jnp.stack([velocities[i] for i in idx])
             if param is not None and velocities is not None:
                 # recursive init: transport previous stylization forward
-                v_prev = jnp.asarray(velocities[max(t - 1, 0)], jnp.float32)
-                param = advect(param, v_prev,
+                param = advect(param, velocities[max(t - 1, 0)],
                                max_disp=cfg.optim.max_disp)
             key, sub = jax.random.split(key)
             d_star, param, _ = self.stylize_frame(
-                np.asarray(densities[t]), vels=vels_win, init_param=param,
+                densities[t], vels=vels_win, init_param=param,
                 key=sub, callback=callback)
             yield t, d_star, param

@@ -113,6 +113,8 @@ def run_octave(
             state_callback(done, params, opt_state)
         if callback is not None:
             callback(done, float(jnp.mean(losses)))
-    losses_np = (np.asarray(jnp.concatenate(all_losses)) if all_losses
-                 else np.zeros((0,), np.float32))
-    return params, losses_np, opt_state
+    # losses stay ON DEVICE (async): converting here would force a host
+    # sync per octave, which over a remote-TPU tunnel costs ~an RTT.
+    losses_out = (jnp.concatenate(all_losses) if all_losses
+                  else jnp.zeros((0,), jnp.float32))
+    return params, losses_out, opt_state
