@@ -38,3 +38,25 @@ Layer map (mirrors SURVEY.md §1, reference layout per SURVEY.md §2):
 """
 
 __version__ = "0.1.0"
+
+from nfs_tpu.core.config import (  # noqa: E402
+    StyleConfig, DataConfig, RenderConfig, LossConfig, OptimConfig,
+    ParticleConfig, ParallelConfig, replace as config_replace,
+)
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    lazy = {
+        "GridStyler": ("nfs_tpu.styler.grid", "GridStyler"),
+        "ParticleStyler": ("nfs_tpu.styler.particle", "ParticleStyler"),
+        "ParallelSequenceStyler": ("nfs_tpu.parallel.engine",
+                                   "ParallelSequenceStyler"),
+        "ParticleSet": ("nfs_tpu.core.pytrees", "ParticleSet"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'nfs_tpu' has no attribute {name!r}")

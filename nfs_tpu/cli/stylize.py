@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keyframe_stride", type=int, default=10)
     p.add_argument("--grid_shape", type=int, nargs="+", default=None,
                    help="splat grid shape for particle mode")
+    # parallel (no reference equivalent — single GPU there)
+    p.add_argument("--parallel", action="store_true",
+                   help="jointly optimize all frames on a (frames, views) "
+                        "device mesh (ParallelSequenceStyler)")
+    p.add_argument("--mesh_frames", type=int, default=None)
+    p.add_argument("--mesh_views", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -177,7 +183,36 @@ def main(argv=None):
                         cfg.data.target_frame + cfg.data.num_frames,
                         cfg.data.frame_stride))
 
-    if args.mode == "grid":
+    if args.mode == "grid" and args.parallel and len(frames) > 1:
+        import jax
+        from nfs_tpu.parallel.engine import ParallelSequenceStyler
+        from nfs_tpu.parallel.mesh import make_mesh, mesh_shape_for
+        from nfs_tpu.styler.grid import GridStyler
+
+        styler = GridStyler(cfg)
+        if args.mesh_frames:
+            mesh = make_mesh(args.mesh_frames, args.mesh_views or 1)
+        else:
+            f_sh, v_sh = mesh_shape_for(len(jax.devices()))
+            mesh = make_mesh(f_sh, v_sh)
+        engine = ParallelSequenceStyler(styler, mesh)
+        densities = np.stack([store.load_density(t) for t in frames])
+        vels = None
+        if os.path.exists(os.path.join(
+                cfg.data.data_dir, cfg.data.v_path % frames[0])):
+            vels = np.stack([store.load_velocity(t) for t in frames])
+        t0 = time.time()
+        d_star, _, info = engine.stylize(densities, vels)
+        wall = time.time() - t0
+        for i, t in enumerate(frames):
+            out_store.save_density(t, np.asarray(d_star[i]))
+            preview(t, d_star[i])
+        log_metric(frames=len(frames), wall_s=wall,
+                   mesh=dict(engine.mesh.shape),
+                   final_loss=float(info["octave_losses"][-1][-1]))
+        print(f"[parallel] {len(frames)} frames in {wall:.1f}s on mesh "
+              f"{dict(engine.mesh.shape)}")
+    elif args.mode == "grid":
         from nfs_tpu.styler.grid import GridStyler
         styler = GridStyler(cfg)
         if cfg.optim.window > 0 or len(frames) > 1:

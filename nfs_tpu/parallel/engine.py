@@ -48,8 +48,10 @@ class ParallelSequenceStyler:
 
     # ------------------------------------------------------------- #
 
-    def _get_loss_one_frame(self, ndim: int, window: int):
-        sig = (ndim, window)
+    def _get_loss_one_frame(self, ndim: int, window: int,
+                            render_size=None):
+        render_size = render_size or self.cfg.render.render_size
+        sig = (ndim, window, tuple(render_size))
         if sig in self._loss_cache:
             return self._loss_cache[sig]
         styler = self.styler
@@ -60,13 +62,13 @@ class ParallelSequenceStyler:
         def render_imgs(d_star, views_i):
             if d_star.ndim == 2:
                 from nfs_tpu.render.raymarch import render2d
-                return render2d(d_star, out_size=cfg.render.render_size,
+                return render2d(d_star, out_size=render_size,
                                 gamma=cfg.render.gamma)[None]
             from nfs_tpu.render.raymarch import render_views
             return render_views(
                 d_star, views_i[:, 0], views_i[:, 1],
                 transmit=cfg.render.transmit,
-                out_size=cfg.render.render_size, gamma=cfg.render.gamma,
+                out_size=render_size, gamma=cfg.render.gamma,
                 method=cfg.render.rotation)
 
         def loss_one_frame(param, d_i, vels_w, views_i, key_i, aux):
@@ -150,7 +152,6 @@ class ParallelSequenceStyler:
 
         import optax
         optimizer = styler._optimizer
-        loss_one = self._get_loss_one_frame(ndim, window)
 
         shapes = octave_shapes(spatial, oc.octave_n, oc.octave_scale)
         params = jax.vmap(lambda _: styler.init_param(spatial))(
@@ -174,7 +175,10 @@ class ParallelSequenceStyler:
                 vels_o = jnp.zeros((T,) + tuple(shape) + (ndim,),
                                    jnp.float32)
 
-            step_sig = (tuple(shape), window, ndim)
+            # per-octave render scaling (matches GridStyler)
+            render_size = styler._octave_render_size(shape, spatial)
+            loss_one = self._get_loss_one_frame(ndim, window, render_size)
+            step_sig = (tuple(shape), window, ndim, tuple(render_size))
             if step_sig not in self._step_cache:
                 self._step_cache[step_sig] = make_sharded_window_step(
                     mesh, loss_one, optimizer, window=window,

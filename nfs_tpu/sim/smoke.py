@@ -63,6 +63,32 @@ def _jacobi_pressure(div: jax.Array, iters: int) -> jax.Array:
     return p
 
 
+def _central_diff(f: jax.Array, axis: int) -> jax.Array:
+    return (jnp.roll(f, -1, axis) - jnp.roll(f, 1, axis)) * 0.5
+
+
+def _vorticity_confinement_3d(v: jax.Array, eps: float) -> jax.Array:
+    """3D vorticity confinement (Fedkiw et al.): f = eps * (N x omega)
+    with N = grad|omega| / |grad|omega||. Axis order (z, y, x), channels
+    (vz, vy, vx)."""
+    vz, vy, vx = v[..., 0], v[..., 1], v[..., 2]
+    # omega = curl v, components in (z, y, x) order
+    wz = _central_diff(vx, 1) - _central_diff(vy, 2)   # dvx/dy - dvy/dx
+    wy = _central_diff(vz, 2) - _central_diff(vx, 0)   # dvz/dx - dvx/dz
+    wx = _central_diff(vy, 0) - _central_diff(vz, 1)   # dvy/dz - dvz/dy
+    mag = jnp.sqrt(wz ** 2 + wy ** 2 + wx ** 2)
+    nz = _central_diff(mag, 0)
+    ny = _central_diff(mag, 1)
+    nx = _central_diff(mag, 2)
+    nmag = jnp.sqrt(nz ** 2 + ny ** 2 + nx ** 2) + 1e-6
+    nz, ny, nx = nz / nmag, ny / nmag, nx / nmag
+    # N x omega in (z, y, x) components
+    fz = ny * wx - nx * wy
+    fy = nx * wz - nz * wx
+    fx = nz * wy - ny * wz
+    return eps * jnp.stack([fz, fy, fx], axis=-1)
+
+
 def _vorticity_confinement_2d(v: jax.Array, eps: float) -> jax.Array:
     """2D vorticity confinement force."""
     vy, vx = v[..., 0], v[..., 1]  # axis0 (y), axis1 (x) components
@@ -126,9 +152,12 @@ class SmokeSolver:
              for i in range(ndim)], axis=-1)
         # 3. buoyancy (up = negative index direction on the up axis)
         v = v.at[..., self.up_axis].add(-cfg.buoyancy * d * cfg.dt)
-        # 4. vorticity confinement (2D only; 3D omitted for cost)
-        if ndim == 2 and cfg.vorticity > 0:
-            v = v + cfg.dt * _vorticity_confinement_2d(v, cfg.vorticity)
+        # 4. vorticity confinement
+        if cfg.vorticity > 0:
+            if ndim == 2:
+                v = v + cfg.dt * _vorticity_confinement_2d(v, cfg.vorticity)
+            else:
+                v = v + cfg.dt * _vorticity_confinement_3d(v, cfg.vorticity)
         # 5. pressure projection
         p = _jacobi_pressure(_divergence(v), cfg.jacobi_iters)
         v = v - _gradient(p)

@@ -81,3 +81,29 @@ class TestFlip:
         xs, _ = liquid_sequence(cfg, n_frames=3)
         assert xs.shape[0] == 3
         assert xs.shape[1] == seed_particles(cfg).x.shape[0]
+
+
+class TestVorticity3D:
+    def test_3d_confinement_runs_and_preserves_stability(self):
+        cfg = SmokeConfig(shape=(16, 12, 16),
+                          source_center=(0.5, 0.85, 0.5),
+                          jacobi_iters=8, vorticity=0.3)
+        ds, vs = smoke_sequence(cfg, n_frames=5)
+        assert np.isfinite(ds).all() and np.isfinite(vs).all()
+        assert ds.min() >= 0.0
+
+    def test_confinement_force_orthogonal_to_vorticity(self):
+        from nfs_tpu.sim.smoke import _vorticity_confinement_3d, _central_diff
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal((12, 12, 12, 3)), jnp.float32)
+        f = _vorticity_confinement_3d(v, 1.0)
+        vz, vy, vx = v[..., 0], v[..., 1], v[..., 2]
+        wz = _central_diff(vx, 1) - _central_diff(vy, 2)
+        wy = _central_diff(vz, 2) - _central_diff(vx, 0)
+        wx = _central_diff(vy, 0) - _central_diff(vz, 1)
+        # f = N x omega is orthogonal to omega pointwise
+        dot = (f[..., 0] * wz + f[..., 1] * wy + f[..., 2] * wx)
+        wmag = jnp.sqrt(wz**2 + wy**2 + wx**2)
+        fmag = jnp.sqrt((f ** 2).sum(-1))
+        rel = np.abs(np.asarray(dot)) / (np.asarray(wmag * fmag) + 1e-6)
+        assert rel.max() < 1e-4
