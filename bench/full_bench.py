@@ -50,9 +50,10 @@ def bench_2d_single(quick):
         "optim.octave_n": 3, "optim.iters": iters,
     }, style_size=(256, 192))
     d = _blob((256, 192))
-    styler.stylize_frame(d)  # compile
+    np.asarray(styler.stylize_frame(d)[0])  # compile + sync
     t0 = time.time()
-    _, _, info = styler.stylize_frame(d)
+    d_star, _, info = styler.stylize_frame(d)
+    np.asarray(d_star)  # dispatch is async: sync before reading the clock
     wall = time.time() - t0
     total = 3 * iters
     return {"metric": "2d_256x192_frame", "iters_per_sec":
@@ -73,11 +74,12 @@ def bench_2d_sequence(quick):
     ds, vs = smoke_sequence(SmokeConfig(shape=(256, 192),
                                         jacobi_iters=20), T)
     gen = styler.stylize_sequence(ds, vs)
-    next(gen)  # frame 0 incl. compile
+    np.asarray(next(gen)[1])  # frame 0 incl. compile, synced
     t0 = time.time()
     n = 0
-    for _ in gen:
+    for _, d_star, _ in gen:
         n += 1
+    np.asarray(d_star)  # sync the in-flight tail
     wall = (time.time() - t0) / max(n, 1)
     return {"metric": "2d_256x192_seq_window_frame",
             "wall_s_per_frame": round(wall, 3),
@@ -94,9 +96,10 @@ def bench_3d_single(quick):
         "optim.octave_n": 3, "optim.iters": iters,
     })
     d = _blob((112, 64, 112))
-    styler.stylize_frame(d)
+    np.asarray(styler.stylize_frame(d)[0])
     t0 = time.time()
-    styler.stylize_frame(d)
+    d_star, _, _ = styler.stylize_frame(d)
+    np.asarray(d_star)
     wall = time.time() - t0
     return {"metric": "3d_112x64x112_9view_frame",
             "iters_per_sec": round(3 * iters / wall, 2),
@@ -121,11 +124,12 @@ def bench_3d_sequence_velocity(quick):
     ds, vs = smoke_sequence(SmokeConfig(
         shape=shape, source_center=(0.5, 0.85, 0.5), jacobi_iters=15), T)
     gen = styler.stylize_sequence(ds, vs)
-    next(gen)
+    np.asarray(next(gen)[1])
     t0 = time.time()
     n = 0
-    for _ in gen:
+    for _, d_star, _ in gen:
         n += 1
+    np.asarray(d_star)
     wall = (time.time() - t0) / max(n, 1)
     return {"metric": "3d_seq_velocity_window_frame",
             "shape": list(shape),
@@ -157,11 +161,51 @@ def bench_particles(quick):
     pset = ParticleSet(
         x=jnp.asarray(rng.random((n_p, 2)) * 100 + 14, jnp.float32),
         dens=jnp.ones((n_p,), jnp.float32))
-    styler.stylize_frame(pset)
+    np.asarray(styler.stylize_frame(pset)[0].x)
     t0 = time.time()
-    styler.stylize_frame(pset)
+    styled, _, _ = styler.stylize_frame(pset)
+    np.asarray(styled.x)
     wall = time.time() - t0
     return {"metric": "lnst_particles_frame", "n_particles": n_p,
+            "iters_per_sec": round(2 * iters / wall, 2),
+            "wall_s": round(wall, 3)}
+
+
+def bench_particles_3d(quick):
+    """Config #5 (3D variant): volumetric LNST — splat to a 3D grid,
+    multi-view raymarch, per-particle optimization."""
+    import jax
+    import jax.numpy as jnp
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.core.pytrees import ParticleSet
+    from nfs_tpu.styler.particle import ParticleStyler
+
+    n_p = 50_000 if quick else 200_000
+    iters = 6 if quick else 20
+    cfg = replace(StyleConfig(), **{
+        "render.render_size": (256, 256),
+        "render.n_views": 9, "render.transmit": 0.05,
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 2, "optim.iters": iters,
+        "particle.optimize_position": True,
+        "particle.optimize_density": True,
+    })
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                          (256, 256, 3)))
+    grid = (96, 64, 96)
+    styler = ParticleStyler(cfg, grid_shape=grid, style_image=style)
+    rng = np.random.default_rng(0)
+    pset = ParticleSet(
+        x=jnp.asarray(rng.random((n_p, 3)) * np.array([80, 48, 80])
+                      + np.array([8, 8, 8]), jnp.float32),
+        dens=jnp.ones((n_p,), jnp.float32))
+    np.asarray(styler.stylize_frame(pset)[0].x)
+    t0 = time.time()
+    styled, _, _ = styler.stylize_frame(pset)
+    np.asarray(styled.x)
+    wall = time.time() - t0
+    return {"metric": "lnst_particles3d_frame", "n_particles": n_p,
+            "grid": list(grid),
             "iters_per_sec": round(2 * iters / wall, 2),
             "wall_s": round(wall, 3)}
 
@@ -172,6 +216,7 @@ BENCHES = {
     "3d_single": bench_3d_single,
     "3d_seq_velocity": bench_3d_sequence_velocity,
     "particles": bench_particles,
+    "particles_3d": bench_particles_3d,
 }
 
 

@@ -39,18 +39,20 @@ def _kernel_weight_1d(u: jax.Array, kernel: str) -> jax.Array:
     raise ValueError(f"unknown kernel {kernel!r}")
 
 
-def _stencil(kernel: str, support: float) -> Tuple[int, int]:
-    """(lo_offset, n_taps) of the per-axis integer stencil relative to
-    floor(x) for a kernel of radius r*support.
+def _base_and_stencil(xf: jax.Array, kernel: str, support: float):
+    """Per-axis integer base nodes + (lo, n_taps) of the tap stencil.
 
-    A node at offset o from floor(x) has |o - frac| < radius for some
-    frac in [0, 1) iff o in (-radius, radius + 1); kernels vanish at the
-    radius so the open bounds are exact.
+    The quadratic B-spline at unit support uses the MPM-style CENTERED
+    base floor(x - 0.5), which covers its radius-1.5 support with exactly
+    3 taps/axis (27 in 3D) instead of the 4 a floor(x)-anchored stencil
+    needs (64 in 3D) — a 2.4x scatter-size cut.
     """
+    if kernel == "bspline" and support == 1.0:
+        return jnp.floor(xf - 0.5).astype(jnp.int32), 0, 3
     radius = (1.0 if kernel == "linear" else 1.5) * support
     lo = int(math.floor(-radius)) + 1
     hi = int(math.ceil(radius + 1.0))  # exclusive
-    return lo, hi - lo
+    return jnp.floor(xf).astype(jnp.int32), lo, hi - lo
 
 
 @partial(jax.jit, static_argnames=("shape", "kernel", "support"))
@@ -80,8 +82,7 @@ def splat(x: jax.Array, attr: jax.Array, shape: Tuple[int, ...],
     has_channels = attr.ndim == 2
 
     xf = x.astype(jnp.float32)
-    base = jnp.floor(xf).astype(jnp.int32)              # (N, dim)
-    lo, n_taps = _stencil(kernel, support)
+    base, lo, n_taps = _base_and_stencil(xf, kernel, support)  # (N, dim)
 
     n_cells = 1
     for s in shape:
@@ -139,8 +140,7 @@ def gather(grid: jax.Array, x: jax.Array, kernel: str = "bspline",
     shape = grid.shape[:ndim]
     has_channels = grid.ndim > ndim
     xf = x.astype(jnp.float32)
-    base = jnp.floor(xf).astype(jnp.int32)
-    lo, n_taps = _stencil(kernel, support)
+    base, lo, n_taps = _base_and_stencil(xf, kernel, support)
     inv_s = 1.0 / support
 
     out = None

@@ -195,3 +195,28 @@ class TestParticleStyler:
         grid = styler.rasterize(pset)
         assert grid.shape == (32, 32)
         assert float(jnp.sum(grid)) == pytest.approx(300.0, rel=1e-3)
+
+
+class TestParticleStyler3D:
+    def test_3d_particles_multiview(self):
+        cfg = tiny_cfg(**{
+            "optim.iters": 3, "optim.octave_n": 1,
+            "render.n_views": 2, "render.transmit": 0.5,
+            "particle.optimize_position": True,
+            "particle.optimize_density": True,
+        })
+        rng = np.random.default_rng(7)
+        n = 400
+        x = 6.0 + rng.random((n, 3)).astype(np.float32) * 12.0
+        pset = ParticleSet(x=jnp.asarray(x),
+                           dens=jnp.ones((n,), jnp.float32))
+        styler = ParticleStyler(cfg, grid_shape=(24, 24, 24),
+                                style_image=style_img())
+        styled, param, info = styler.stylize_frame(pset)
+        assert styled.x.shape == (n, 3)
+        losses = info["octave_losses"][-1]
+        assert np.isfinite(losses).all()
+        assert float(jnp.abs(param["dx"]).max()) > 0.0
+        grid = styler.rasterize(styled)
+        assert grid.shape == (24, 24, 24)
+        assert np.isfinite(np.asarray(grid)).all()
