@@ -26,6 +26,10 @@ import numpy as np
 
 def main():
     import jax
+
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from nfs_tpu.core.config import StyleConfig, replace

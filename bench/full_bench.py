@@ -229,6 +229,9 @@ def main():
 
     import jax
 
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     results = {"device": str(jax.devices()[0])}
     for name, fn in BENCHES.items():
         if args.only and name != args.only:

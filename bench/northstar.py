@@ -34,6 +34,10 @@ def main():
 
     import jax
 
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     from nfs_tpu.core.config import StyleConfig, replace
     from nfs_tpu.sim.smoke import SmokeConfig, smoke_sequence
     from nfs_tpu.styler.grid import GridStyler

@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="render stylized frames")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--d_path", default="d_%04d.npz")

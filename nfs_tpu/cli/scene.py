@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="generate fluid data (.npz)")
     p.add_argument("--scene",
                    choices=["smoke2d", "smoke3d", "liquid2d", "liquid3d"],

@@ -148,6 +148,9 @@ def config_from_args(args) -> StyleConfig:
 
 
 def main(argv=None):
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

@@ -22,7 +22,7 @@ on the MXU; Gram accumulation upcasts to f32 (losses.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Frame outputs are the implicit checkpoint (SURVEY.md §5 failure-recovery):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import gzip
 import struct
 import time
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

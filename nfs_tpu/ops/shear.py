@@ -23,8 +23,6 @@ bound the error vs rotate3d). Slopes grow as tan(t/2): keep |t| < ~120 deg
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -150,7 +150,6 @@ class ParallelSequenceStyler:
                 (cfg.render.phi0, cfg.render.phi1), seed=cfg.seed))
         P_sz = pool.shape[0]
 
-        import optax
         optimizer = styler._optimizer
 
         shapes = octave_shapes(spatial, oc.octave_n, oc.octave_scale)

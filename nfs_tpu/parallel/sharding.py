@@ -25,7 +25,7 @@ near-linear frame scaling (SURVEY.md §5 "long-context" reinterpretation).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

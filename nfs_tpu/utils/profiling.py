@@ -88,3 +88,19 @@ def timed(fn, *args, n: int = 10, warmup: int = 1):
         result = fn(*args)
     jax.block_until_ready(result)
     return (time.perf_counter() - t0) / n * 1000.0, result
+
+
+def enable_compile_cache(path: str = "/tmp/nfs_tpu_jax_cache",
+                         min_compile_secs: float = 0.5) -> None:
+    """Enable JAX's persistent compilation cache (verified working through
+    the axon remote-compile path: cross-process recompiles drop from
+    seconds/minutes to ~20 ms). Safe to call multiple times."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass

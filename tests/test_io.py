@@ -10,7 +10,6 @@ import pytest
 from nfs_tpu.io import FrameStore, load_frame, save_frame
 from nfs_tpu.io.uni import (
     read_uni, write_uni, read_uni_particles, write_uni_particles,
-    _MNT3_ALIGNED,
 )
 
 

@@ -17,10 +17,6 @@ from nfs_tpu.ops.interp import identity_coords
 from nfs_tpu.ops.splat import gather
 
 
-def rand(key, *shape):
-    return jax.random.uniform(jax.random.PRNGKey(key), shape)
-
-
 class TestGridSample:
     @pytest.mark.parametrize("shape", [(16, 12), (8, 10, 6)])
     def test_matches_scipy(self, shape):
