@@ -25,8 +25,8 @@ import time
 import numpy as np
 
 from nfs_tpu.core.config import (
-    DataConfig, LossConfig, OptimConfig, ParticleConfig, RenderConfig,
-    StyleConfig,
+    DataConfig, LossConfig, OptimConfig, ParallelConfig, ParticleConfig,
+    RenderConfig, StyleConfig,
 )
 
 
@@ -143,6 +143,10 @@ def config_from_args(args) -> StyleConfig:
             optimize_density=args.opt_density,
             optimize_color=args.opt_color,
             keyframe_stride=args.keyframe_stride),
+        parallel=ParallelConfig(
+            frames=args.mesh_frames or 1,
+            views=args.mesh_views or 1,
+            halo=args.window),
         seed=args.seed,
     )
 
@@ -192,9 +196,12 @@ def main(argv=None):
         from nfs_tpu.parallel.mesh import make_mesh, mesh_shape_for
         from nfs_tpu.styler.grid import GridStyler
 
+        from nfs_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost()
         styler = GridStyler(cfg)
-        if args.mesh_frames:
-            mesh = make_mesh(args.mesh_frames, args.mesh_views or 1)
+        if cfg.parallel.frames > 1 or cfg.parallel.views > 1:
+            mesh = make_mesh(cfg.parallel.frames, cfg.parallel.views)
         else:
             f_sh, v_sh = mesh_shape_for(len(jax.devices()))
             mesh = make_mesh(f_sh, v_sh)

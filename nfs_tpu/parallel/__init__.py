@@ -20,6 +20,7 @@ from nfs_tpu.parallel.sharding import (
     make_sharded_window_step,
 )
 from nfs_tpu.parallel.engine import ParallelSequenceStyler
+from nfs_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
     "make_mesh",
@@ -27,4 +28,5 @@ __all__ = [
     "shard_volume",
     "make_sharded_window_step",
     "ParallelSequenceStyler",
+    "initialize_multihost",
 ]
