@@ -60,6 +60,25 @@ def bench_2d_single(quick):
             round(total / wall, 2), "wall_s": round(wall, 3)}
 
 
+def bench_2d_512(quick):
+    """The BASELINE metric's 2D 512^2 headline shape."""
+    iters = 10 if quick else 30
+    cfg, styler = _styler({
+        "render.render_size": (512, 512),
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 3, "optim.iters": iters,
+    }, style_size=(512, 512))
+    d = _blob((512, 512))
+    np.asarray(styler.stylize_frame(d)[0])
+    t0 = time.time()
+    d_star, _, _ = styler.stylize_frame(d)
+    np.asarray(d_star)
+    wall = time.time() - t0
+    return {"metric": "2d_512x512_frame",
+            "iters_per_sec": round(3 * iters / wall, 2),
+            "wall_s": round(wall, 3)}
+
+
 def bench_2d_sequence(quick):
     """Config #2: 2D sequence with window transport losses."""
     from nfs_tpu.sim.smoke import SmokeConfig, smoke_sequence
@@ -212,6 +231,7 @@ def bench_particles_3d(quick):
 
 BENCHES = {
     "2d_single": bench_2d_single,
+    "2d_512": bench_2d_512,
     "2d_sequence": bench_2d_sequence,
     "3d_single": bench_3d_single,
     "3d_seq_velocity": bench_3d_sequence_velocity,

@@ -103,6 +103,11 @@ class LossConfig:
     # VGG compute dtype: 'bfloat16' rides the MXU fast path (Gram
     # accumulation stays f32); 'float32' for numeric tests.
     features_dtype: str = "float32"
+    # rematerialize per-view render+VGG in the backward pass (sequential
+    # lax.map over views instead of one batched evaluation): cuts peak
+    # activation memory by ~n_views at the cost of recompute — for large
+    # renders (512²) x many views (SURVEY.md §7 hard part #4).
+    remat_views: bool = False
 
 
 @dataclass(frozen=True)

@@ -122,6 +122,30 @@ class GridStyler:
                             transmit=rc.transmit, out_size=render_size,
                             gamma=rc.gamma, method=rc.rotation)
 
+    def _render_loss(self, d_star, key, pool, render_size, data):
+        """Render views of d_star and evaluate the image loss; with
+        loss.remat_views, views are evaluated sequentially under
+        jax.checkpoint (peak memory / n_views, recompute in bwd)."""
+        lc = self.cfg.loss
+        rc = self.cfg.render
+        if d_star.ndim == 2 or not lc.remat_views:
+            return self._image_loss(
+                self._render(d_star, key, pool, render_size), data)
+
+        from nfs_tpu.render.raymarch import render_volume
+
+        views = self._sample_views(key, pool)
+
+        def one_view(v):
+            img = render_volume(d_star, v[0], v[1], transmit=rc.transmit,
+                                out_size=render_size, gamma=rc.gamma,
+                                method=rc.rotation)
+            img = jnp.repeat(img[None, ..., None], 3, axis=-1)
+            return self._image_loss(img, data)
+
+        losses = jax.lax.map(jax.checkpoint(one_view), views)
+        return jnp.mean(losses)
+
     def _apply_param(self, opt_var: jax.Array, d_base: jax.Array
                      ) -> jax.Array:
         if self.cfg.optim.parameterization == "velocity":
@@ -185,29 +209,26 @@ class GridStyler:
             pool = data["pool"]
             d_star = self._apply_param(opt_var, d_base)
             if window == 0:
-                total = self._image_loss(
-                    self._render(d_star, key, pool, render_size), data)
+                total = self._render_loss(d_star, key, pool, render_size,
+                                          data)
             else:
                 vels = data["vels"]
                 keys = jax.random.split(key, 2 * window + 1)
-                total = weights[window] * self._image_loss(
-                    self._render(d_star, keys[window], pool, render_size),
-                    data)
+                total = weights[window] * self._render_loss(
+                    d_star, keys[window], pool, render_size, data)
                 # forward transport through sim velocities (TNST §6)
                 md = cfg.optim.max_disp
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, vels[window + j - 1], max_disp=md)
-                    total += weights[window + j] * self._image_loss(
-                        self._render(d_j, keys[window + j], pool,
-                                     render_size), data)
+                    total += weights[window + j] * self._render_loss(
+                        d_j, keys[window + j], pool, render_size, data)
                 # backward transport (inverse advection approximation)
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, -vels[window - j], max_disp=md)
-                    total += weights[window - j] * self._image_loss(
-                        self._render(d_j, keys[window - j], pool,
-                                     render_size), data)
+                    total += weights[window - j] * self._render_loss(
+                        d_j, keys[window - j], pool, render_size, data)
             if cfg.loss.w_tv:
                 total += cfg.loss.w_tv * tv_loss(opt_var, ndim=ndim)
             return total

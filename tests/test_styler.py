@@ -220,3 +220,34 @@ class TestParticleStyler3D:
         grid = styler.rasterize(styled)
         assert grid.shape == (24, 24, 24)
         assert np.isfinite(np.asarray(grid)).all()
+
+
+class TestRematViews:
+    def test_remat_matches_batched_loss(self):
+        d = blob3d()
+        common = {"optim.iters": 2, "optim.octave_n": 1,
+                  "render.n_views": 3}
+        cfg_a = tiny_cfg(**common)
+        cfg_b = tiny_cfg(**dict(common, **{"loss.remat_views": True}))
+        sty_a = GridStyler(cfg_a, style_image=style_img())
+        sty_b = GridStyler(cfg_b, style_image=style_img())
+        key = jax.random.PRNGKey(3)
+        data = {"d": jnp.asarray(d), "pool": sty_a.view_pool,
+                "vgg": sty_a.vgg_params, "targets": sty_a.gram_targets,
+                "content": None}
+        la = sty_a._get_loss_fn(3, 0)(jnp.zeros_like(jnp.asarray(d)),
+                                      key, data)
+        data_b = dict(data, pool=sty_b.view_pool, vgg=sty_b.vgg_params,
+                      targets=sty_b.gram_targets)
+        lb = sty_b._get_loss_fn(3, 0)(jnp.zeros_like(jnp.asarray(d)),
+                                      key, data_b)
+        assert float(la) == pytest.approx(float(lb), rel=1e-4)
+
+    def test_remat_full_frame(self):
+        cfg = tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 1,
+                          "loss.remat_views": True})
+        styler = GridStyler(cfg, style_image=style_img())
+        d_star, _, info = styler.stylize_frame(blob3d())
+        losses = info["octave_losses"][-1]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
