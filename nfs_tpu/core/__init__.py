@@ -9,7 +9,7 @@ from nfs_tpu.core.config import (
     ParallelConfig,
     ParticleConfig,
 )
-from nfs_tpu.core.pytrees import Grid, ParticleSet
+from nfs_tpu.core.pytrees import ParticleSet
 
 __all__ = [
     "StyleConfig",
@@ -19,6 +19,5 @@ __all__ = [
     "OptimConfig",
     "ParallelConfig",
     "ParticleConfig",
-    "Grid",
     "ParticleSet",
 ]

@@ -23,40 +23,6 @@ import dataclasses
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class DensityGrid:
-    """Scalar density field, shape (H, W) or (D, H, W)."""
-
-    d: jax.Array
-
-    @property
-    def spatial_shape(self) -> Tuple[int, ...]:
-        return tuple(self.d.shape)
-
-    @property
-    def ndim_space(self) -> int:
-        return self.d.ndim
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class VelocityGrid:
-    """Velocity field, shape (*spatial, ndim), channel i = component along
-    array axis i, units: cells/frame."""
-
-    v: jax.Array
-
-    @property
-    def spatial_shape(self) -> Tuple[int, ...]:
-        return tuple(self.v.shape[:-1])
-
-    @property
-    def ndim_space(self) -> int:
-        return self.v.ndim - 1
 
 
 @jax.tree_util.register_dataclass
@@ -82,16 +48,3 @@ class ParticleSet:
     @property
     def dim(self) -> int:
         return self.x.shape[-1]
-
-
-# Simple alias: "Grid" without qualification means the scalar density grid.
-Grid = DensityGrid
-
-
-def as_array(g) -> jax.Array:
-    """Accept a raw array, DensityGrid, or VelocityGrid; return the array."""
-    if isinstance(g, DensityGrid):
-        return g.d
-    if isinstance(g, VelocityGrid):
-        return g.v
-    return jnp.asarray(g)

@@ -139,7 +139,8 @@ class ParallelSequenceStyler:
         vels_full = (jnp.asarray(velocities, jnp.float32)
                      if velocities is not None else None)
 
-        # device-resident poisson view pool (per-frame, per-step indexing)
+        # device-resident poisson view pool, indexed ON DEVICE inside the
+        # scanned step from per-frame PRNG keys
         if ndim == 3 and styler.view_pool is not None \
                 and styler.view_pool.shape[1] == n_views:
             pool = jnp.asarray(styler.view_pool)
@@ -148,7 +149,6 @@ class ParallelSequenceStyler:
                 cfg.render.view_pool, n_views,
                 (cfg.render.theta0, cfg.render.theta1),
                 (cfg.render.phi0, cfg.render.phi1), seed=cfg.seed))
-        P_sz = pool.shape[0]
 
         optimizer = styler._optimizer
 
@@ -156,8 +156,8 @@ class ParallelSequenceStyler:
         params = jax.vmap(lambda _: styler.init_param(spatial))(
             jnp.arange(T))
         info = {"octave_losses": []}
-        keys_frames = jax.vmap(jax.random.PRNGKey)(
-            jnp.arange(T, dtype=jnp.uint32))
+        base_keys = jax.vmap(
+            lambda t: jax.random.fold_in(key, t))(jnp.arange(T))
 
         for o, shape in enumerate(shapes):
             is_vel = oc.parameterization == "velocity"
@@ -177,13 +177,6 @@ class ParallelSequenceStyler:
             # per-octave render scaling (matches GridStyler)
             render_size = styler._octave_render_size(shape, spatial)
             loss_one = self._get_loss_one_frame(ndim, window, render_size)
-            step_sig = (tuple(shape), window, ndim, tuple(render_size))
-            if step_sig not in self._step_cache:
-                self._step_cache[step_sig] = make_sharded_window_step(
-                    mesh, loss_one, optimizer, window=window,
-                    n_views=n_views,
-                    opt_state_example=optimizer.init(params))
-            step = self._step_cache[step_sig]
 
             aux = {
                 "vgg": styler.vgg_params,
@@ -191,17 +184,36 @@ class ParallelSequenceStyler:
                 "content": styler.content_feats,
             }
             opt_state = optimizer.init(params)
-            losses = []
-            for it in range(oc.iters):
-                idx = (jnp.arange(T) * 7919 + it) % P_sz
-                view_sets = pool[idx]
-                params, opt_state, loss = step(
-                    params, opt_state, d_o, vels_o, view_sets,
-                    keys_frames, aux)
-                losses.append(float(loss))
-                if callback is not None and (it + 1) % oc.log_every == 0:
-                    callback(it + 1, losses[-1], octave=o)
-            info["octave_losses"].append(np.asarray(losses))
+            # keys differ per octave so octaves draw fresh view sets
+            keys_o = jax.vmap(
+                lambda k: jax.random.fold_in(k, o))(base_keys)
+
+            # whole-octave on-device iteration scan: one dispatch per
+            # chunk (= all iters when nobody is watching); `it0` is traced
+            # so chunked calls share one executable per chunk length
+            chunk = oc.log_every if callback is not None else oc.iters
+            losses_dev = []
+            done = 0
+            while done < oc.iters:
+                n_it = min(chunk, oc.iters - done)
+                step_sig = (tuple(shape), window, ndim,
+                            tuple(render_size), n_it)
+                if step_sig not in self._step_cache:
+                    self._step_cache[step_sig] = make_sharded_window_step(
+                        mesh, loss_one, optimizer, window=window,
+                        n_views=n_views,
+                        opt_state_example=optimizer.init(params),
+                        n_iters=n_it)
+                step = self._step_cache[step_sig]
+                params, opt_state, losses = step(
+                    params, opt_state, d_o, vels_o, pool, keys_o, aux,
+                    jnp.int32(done))
+                losses_dev.append(losses)  # stays on device
+                done += n_it
+                if callback is not None:
+                    callback(done, float(losses[-1]), octave=o)
+            info["octave_losses"].append(
+                np.asarray(jnp.concatenate(losses_dev)))
 
         d_star = jax.vmap(styler._apply_param)(params, d_full)
         d_star = jnp.maximum(d_star, 0.0)

@@ -29,21 +29,20 @@ def initialize_multihost(coordinator: Optional[str] = None,
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator,
-                num_processes=(num_processes if num_processes is not None
-                               else None),
+                num_processes=num_processes,
                 process_id=process_id,
             )
-        except (RuntimeError, ValueError):
-            pass  # already initialized or single-process
+        except RuntimeError as e:
+            # idempotent re-init is fine; anything else (misconfigured
+            # coordinator, unreachable peers) must NOT degrade to a
+            # silent single-host run
+            if "already initialized" not in str(e).lower():
+                raise
     return len(jax.devices())
 
 
-def frames_axis_sharding_hint(n_frames: int) -> str:
-    """Documentation helper: on multi-slice topologies put the ``frames``
-    mesh axis on the DCN boundary (halo exchange is small and infrequent)
-    and ``views`` inside a slice on ICI (psum every step) — the layout
-    SURVEY.md §2's collectives row prescribes. make_mesh's axis order
-    (frames outer) already produces this when devices are enumerated
-    slice-major."""
-    return (f"mesh: frames={n_frames}-way on DCN (outer), views on ICI "
-            f"(inner)")
+# Mesh-layout note (SURVEY.md §2 collectives row): on multi-slice
+# topologies, put the ``frames`` mesh axis on the DCN boundary (halo
+# exchange is small and infrequent) and ``views`` inside a slice on ICI
+# (psum every step). make_mesh's axis order (frames outer) already
+# produces this when devices are enumerated slice-major.

@@ -381,7 +381,11 @@ class GridStyler:
         if velocities is not None:
             velocities = jnp.asarray(velocities, jnp.float32)
 
-        for t in range(0, T, cfg.data.frame_stride):
+        # NOTE: every frame handed in is stylized — frame selection
+        # (stride, range) is the CALLER's job (the CLI builds the strided
+        # frame list; striding again here stylized every N^2-th frame,
+        # ADVICE r1 medium finding).
+        for t in range(T):
             vels_win = None
             if W > 0 and velocities is not None:
                 idx = [max(t - W + j, 0) for j in range(W)] + \

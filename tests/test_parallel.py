@@ -69,6 +69,25 @@ class TestHaloExchange:
         # shard 1 holds frames 3..5; left halo = frames 1,2; right = 6,7
         np.testing.assert_allclose(out[1], [1, 2, 3, 4, 5, 6, 7])
 
+    def test_halo_deeper_than_shard(self):
+        # halo > local length: the all_gather fallback (window wider than
+        # frames-per-shard used to silently truncate, VERDICT weak #3)
+        mesh = make_mesh(frames=8, views=1)
+        T, halo = 8, 3  # L = 1 < halo
+        x = jnp.arange(T, dtype=jnp.float32).reshape(T, 1)
+
+        def body(xl):
+            left, right = halo_exchange(xl, halo, "frames")
+            return jnp.concatenate([left, xl, right], axis=0)
+
+        out = shard_map(body, mesh=mesh, in_specs=P("frames"),
+                        out_specs=P("frames"), check_vma=False)(x)
+        out = np.asarray(out).reshape(8, 2 * halo + 1)
+        for shard in range(8):
+            want = np.clip(np.arange(shard - halo, shard + halo + 1),
+                           0, T - 1)
+            np.testing.assert_allclose(out[shard], want)
+
 
 class TestShardVolume:
     def test_spatial_sharding_roundtrip(self):
@@ -81,58 +100,126 @@ class TestShardVolume:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(d) * 2 + 1)
 
 
+def _toy_problem(T=8, H=16, W=12, n_views=4):
+    d = jnp.asarray(
+        np.random.default_rng(0).random((T, H, W)), jnp.float32)
+    vels = jnp.asarray(
+        0.3 * np.random.default_rng(1).standard_normal(
+            (T, H, W, 2)), jnp.float32)
+    params = jnp.zeros((T, H, W), jnp.float32)
+    pool = jnp.asarray(
+        np.random.default_rng(2).random((5, n_views, 2)), jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(T, dtype=jnp.uint32))
+    target = jnp.asarray(
+        np.random.default_rng(3).random((H, W)), jnp.float32)
+
+    def loss_one_frame(param, d_i, vels_w, views_i, key_i, aux):
+        # toy differentiable loss with the real dataflow: apply param,
+        # advect through the window, compare to a target; per-view
+        # weighting = local_views / n_views so view-shard partials SUM
+        # to the full per-frame loss.
+        from nfs_tpu.ops.advect import advect
+        d_star = d_i + param
+        base = jnp.mean((d_star - aux["target"]) ** 2)
+        if vels_w is not None:
+            Wd = vels_w.shape[0] // 2
+            d_f = advect(d_star, vels_w[Wd])
+            base = base + jnp.mean((d_f - aux["target"]) ** 2)
+        # view dependence: each view scales the loss by its first angle
+        per_view = base * (1.0 + 0.1 * views_i[:, 0])
+        return jnp.sum(per_view) / n_views
+
+    aux = {"target": target}
+    return params, d, vels, pool, keys, aux, loss_one_frame
+
+
 class TestShardedWindowStep:
-    def _setup(self, window=1):
-        mesh = make_mesh(frames=4, views=2)
-        T, H, W = 8, 16, 12
-        n_views = 4
-        d = jnp.asarray(
-            np.random.default_rng(0).random((T, H, W)), jnp.float32)
-        vels = jnp.asarray(
-            0.3 * np.random.default_rng(1).standard_normal(
-                (T, H, W, 2)), jnp.float32)
-        params = jnp.zeros((T, H, W), jnp.float32)
-        view_sets = jnp.asarray(
-            np.random.default_rng(2).random((T, n_views, 2)), jnp.float32)
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(T, dtype=jnp.uint32))
-        target = jnp.asarray(
-            np.random.default_rng(3).random((H, W)), jnp.float32)
-
-        def loss_one_frame(param, d_i, vels_w, views_i, key_i, aux):
-            # toy differentiable loss with the real dataflow: apply param,
-            # advect through the window, compare to a target; per-view
-            # weight 1/n_views so view-shard partials sum to the full loss.
-            from nfs_tpu.ops.advect import advect
-            d_star = d_i + param
-            total = jnp.mean((d_star - aux["target"]) ** 2)
-            if vels_w is not None:
-                W = vels_w.shape[0] // 2
-                d_f = advect(d_star, vels_w[W])
-                total = total + jnp.mean((d_f - aux["target"]) ** 2)
-            # fake view dependence: scale by mean of view angles
-            vw = 1.0 + 0.01 * jnp.mean(views_i)
-            return total * vw / 2.0  # 2 view shards; partials sum to full
-
+    def _build(self, mesh, loss_one_frame, params, window, n_views,
+               n_iters=1):
         optimizer = optax.adam(0.05)
         opt_state = optimizer.init(params)
         step = make_sharded_window_step(
             mesh, loss_one_frame, optimizer, window=window,
-            n_views=n_views, opt_state_example=opt_state)
-        aux = {"target": target}
-        return step, params, opt_state, d, vels, view_sets, keys, aux
+            n_views=n_views, opt_state_example=opt_state, n_iters=n_iters)
+        return step, opt_state
 
     def test_step_runs_and_learns(self):
-        step, params, opt_state, d, vels, view_sets, keys, aux = \
-            self._setup(window=1)
-        p, s, loss0 = step(params, opt_state, d, vels, view_sets, keys, aux)
-        assert np.isfinite(float(loss0))
+        params, d, vels, pool, keys, aux, loss_fn = _toy_problem()
+        mesh = make_mesh(frames=4, views=2)
+        step, s = self._build(mesh, loss_fn, params, window=1, n_views=4)
+        p, s, loss0 = step(params, s, d, vels, pool, keys, aux,
+                           jnp.int32(0))
+        assert np.isfinite(float(loss0[0]))
         assert float(jnp.abs(p).max()) > 0.0  # params updated
-        for _ in range(10):
-            p, s, loss = step(p, s, d, vels, view_sets, keys, aux)
-        assert float(loss) < float(loss0)
+        for it in range(1, 11):
+            p, s, loss = step(p, s, d, vels, pool, keys, aux,
+                              jnp.int32(it))
+        assert float(loss[0]) < float(loss0[0])
 
     def test_window_zero(self):
-        step, params, opt_state, d, vels, view_sets, keys, aux = \
-            self._setup(window=0)
-        p, s, loss = step(params, opt_state, d, vels, view_sets, keys, aux)
-        assert np.isfinite(float(loss))
+        params, d, vels, pool, keys, aux, loss_fn = _toy_problem()
+        mesh = make_mesh(frames=4, views=2)
+        step, s = self._build(mesh, loss_fn, params, window=0, n_views=4)
+        p, s, loss = step(params, s, d, vels, pool, keys, aux,
+                          jnp.int32(0))
+        assert np.isfinite(float(loss[0]))
+
+    def test_scan_chunks_match_single_steps(self):
+        # one n_iters=4 dispatch == four n_iters=1 dispatches with it0
+        params, d, vels, pool, keys, aux, loss_fn = _toy_problem()
+        mesh = make_mesh(frames=4, views=2)
+        step1, s1 = self._build(mesh, loss_fn, params, window=1, n_views=4)
+        step4, s4 = self._build(mesh, loss_fn, params, window=1, n_views=4,
+                                n_iters=4)
+        p1 = params
+        losses1 = []
+        for it in range(4):
+            p1, s1, l = step1(p1, s1, d, vels, pool, keys, aux,
+                              jnp.int32(it))
+            losses1.append(float(l[0]))
+        p4, s4, losses4 = step4(params, s4, d, vels, pool, keys, aux,
+                                jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(losses4), losses1, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p4), np.asarray(p1),
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("fv", [(4, 2), (2, 4), (8, 1)])
+    def test_parity_with_unsharded(self, fv):
+        # the sharded step must produce the SAME params as the same step
+        # on a 1-device mesh (catches missing view-gradient psum: view
+        # shards would otherwise apply only their local partial gradient,
+        # ADVICE r1 high-severity finding)
+        frames, views = fv
+        params, d, vels, pool, keys, aux, loss_fn = _toy_problem()
+        ref_mesh = make_mesh(frames=1, views=1)
+        stepr, sr = self._build(ref_mesh, loss_fn, params, window=1,
+                                n_views=4, n_iters=3)
+        pr, _, lr = stepr(params, sr, d, vels, pool, keys, aux,
+                          jnp.int32(0))
+        mesh = make_mesh(frames=frames, views=views)
+        steps, ss = self._build(mesh, loss_fn, params, window=1,
+                                n_views=4, n_iters=3)
+        ps, _, ls = steps(params, ss, d, vels, pool, keys, aux,
+                          jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lr),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pr),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_parity_window_deeper_than_shard(self):
+        # window=3 with frames=8 shards of T=8 (L=1): exercises the
+        # all_gather deep-halo fallback inside the real step
+        params, d, vels, pool, keys, aux, loss_fn = _toy_problem()
+        ref_mesh = make_mesh(frames=1, views=1)
+        stepr, sr = self._build(ref_mesh, loss_fn, params, window=3,
+                                n_views=4)
+        pr, _, lr = stepr(params, sr, d, vels, pool, keys, aux,
+                          jnp.int32(0))
+        mesh = make_mesh(frames=8, views=1)
+        steps, ss = self._build(mesh, loss_fn, params, window=3, n_views=4)
+        ps, _, ls = steps(params, ss, d, vels, pool, keys, aux,
+                          jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lr),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pr),
+                                   rtol=1e-4, atol=1e-6)

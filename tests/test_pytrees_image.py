@@ -6,29 +6,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nfs_tpu.core.pytrees import (
-    DensityGrid, Grid, ParticleSet, VelocityGrid, as_array,
-)
+from nfs_tpu.core.pytrees import ParticleSet
 from nfs_tpu.io.image import save_image, save_video
 
 
 class TestPytrees:
-    def test_density_grid_jit_transparent(self):
-        g = DensityGrid(d=jnp.ones((4, 5)))
-        out = jax.jit(lambda g: DensityGrid(d=g.d * 2))(g)
-        assert isinstance(out, DensityGrid)
-        np.testing.assert_allclose(np.asarray(out.d), 2.0)
-        assert g.spatial_shape == (4, 5)
-        assert g.ndim_space == 2
-        assert Grid is DensityGrid  # documented alias
-
-    def test_velocity_grid(self):
-        v = VelocityGrid(v=jnp.zeros((4, 5, 6, 3)))
-        assert v.spatial_shape == (4, 5, 6)
-        assert v.ndim_space == 3
-        leaves = jax.tree_util.tree_leaves(v)
-        assert len(leaves) == 1
-
     def test_particle_set_optional_fields(self):
         p = ParticleSet(x=jnp.zeros((7, 2)))
         assert p.n == 7 and p.dim == 2
@@ -36,13 +18,6 @@ class TestPytrees:
         # optional leaves don't break tree ops
         p2 = jax.tree_util.tree_map(lambda x: x + 1, p)
         assert float(p2.x[0, 0]) == 1.0
-
-    def test_as_array(self):
-        np.testing.assert_allclose(
-            np.asarray(as_array(DensityGrid(d=jnp.ones(3)))), 1.0)
-        np.testing.assert_allclose(
-            np.asarray(as_array(VelocityGrid(v=jnp.zeros((2, 2, 2))))), 0.0)
-        assert as_array([1.0, 2.0]).shape == (2,)
 
 
 class TestVideoExport:

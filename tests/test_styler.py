@@ -110,6 +110,18 @@ class TestGridStyler2D:
         for _, d_star, _ in out:
             assert d_star.shape == (32, 24)
 
+    def test_sequence_ignores_frame_stride(self):
+        # stride is applied by the CALLER (the CLI builds the strided
+        # frame list); stylize_sequence must stylize every frame handed
+        # to it (ADVICE r1: stride was applied twice, so --frame_stride N
+        # silently stylized only every N^2-th frame)
+        cfg = tiny_cfg(**{"optim.iters": 2, "optim.octave_n": 1,
+                          "data.frame_stride": 2})
+        styler = GridStyler(cfg, style_image=style_img())
+        ds = np.stack([blob2d()] * 3)
+        out = list(styler.stylize_sequence(ds))
+        assert [t for t, _, _ in out] == [0, 1, 2]
+
     def test_tv_regularizer(self):
         cfg = tiny_cfg(**{"loss.w_tv": 10.0, "optim.iters": 4})
         styler = GridStyler(cfg, style_image=style_img())
