@@ -161,6 +161,15 @@ class ParticleConfig:
     keyframe_stride: int = 10
     # clamp on position offsets (cells)
     max_offset: float = 4.0
+    # splat implementation: 'binned' = dense (cells, K) shift-window
+    # (ops/binsplat.py, 3.6-5.4x faster fwd+bwd on v5e, bspline/support=1
+    # only) | 'flat' = one flat XLA scatter (ops/splat.py, any kernel)
+    splat_impl: str = "binned"
+    # iterations between re-binnings (position drift between rebins
+    # truncates O(drift^2) kernel mass at the bin-support edge)
+    rebin_every: int = 10
+    # fall back to 'flat' when padded_cells * K exceeds this (memory cap)
+    max_bin_slots: int = 64_000_000
 
 
 @dataclass(frozen=True)

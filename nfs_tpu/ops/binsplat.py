@@ -1,0 +1,233 @@
+"""Binned dense particle-to-grid splatting — the gather/scatter-free LNST
+hot path (reference: the particle styler's SPH rasterizer, SURVEY.md §2
+"Particle styler"; LNST §4.1).
+
+Why: XLA's scatter-add on TPU is ~600x off memory-bound (measured 186 ms
+fwd+bwd for 500k particles -> 128^3 with the flat 27-tap scatter in
+``ops/splat.py``). This module replaces the per-iteration scatter with the
+same structural trick that made advection 20x faster (``ops/advect.py``):
+
+  1. ``bin_particles``: once per chunk of iterations, sort particles into
+     dense (K, cells) bins keyed by the quadratic-B-spline base cell
+     ``floor(p - 0.5)`` (argsort + one N-sized scatter — amortized).
+  2. ``splat_binned``: every iteration, the splat is 27 (3D) / 9 (2D)
+     dense shifted adds over the bin array — zero gathers, zero scatters,
+     and its VJP is equally dense (shift-gathers + elementwise).
+
+Measured on v5e: fwd+bwd 34 ms vs 186 ms flat at 500k->128^3 (5.4x) and
+5.9 ms vs 21.2 ms at 50k->96x64x96 (3.6x); max |err| vs flat ~1e-7.
+
+TPU LAYOUT RULE (hard-won): binned payloads are laid out SLOT-MINOR —
+vectors are (C, n_slots), never (n_slots, C). TPU tiles the two minor
+dims to (8, 128); an (n_slots, 3) array pads 3 -> 128 lanes, a 16.6x HBM
+expansion that OOM'd a 16 GB chip on a 62 MB logical array. Slots are
+rank-major (slot = rank * n_cells + cell) so the dense region reshapes to
+(K, *padded_shape) with the large x-axis minor, and the 27-tap window is
+computed in that layout end to end.
+
+Semantics match ``splat(kernel='bspline', support=1.0)`` exactly: the
+domain is padded by PAD=2 cells per side so boundary particles keep their
+in-bounds taps while out-of-bounds taps are cropped (the flat scatter's
+``mode='drop'``).
+
+Positions may drift from their binned cell between rebins (LNST optimizes
+dx). Taps stay anchored at the BINNED base cell, so weight mass that
+drifts past the 3-tap support is truncated — an O(drift^2) error at the
+support edge (b-spline edge value 0.5*(1.5-|u|)^2). Rebin cadence
+(``ParticleConfig.rebin_every``) keeps drift ~lr*steps << 1 cell.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD = 2  # bin-domain padding (cells per side) for boundary-tap fidelity
+
+
+class Binning(NamedTuple):
+    """Pytree mapping N particles <-> a slot space of n_slots + N, where
+    n_slots = prod(padded cells) * K.
+
+    Slots [0, n_slots) form the dense rank-major (K, cells) bin region
+    consumed by ``splat_binned``. Slots [n_slots, n_slots + N) are
+    per-particle PARKING slots: a particle whose bin already holds K
+    others lands there — it keeps an exact attribute round-trip
+    (to_binned/from_binned stay bijective) but is excluded from the splat
+    until the next rebin, so K overflow degrades gracefully instead of
+    corrupting.
+
+    slot[i] = slot of canonical particle i. valid marks dense slots that
+    hold a real particle. n_overflow counts parked particles.
+    """
+
+    slot: jax.Array        # (N,) int32 in [0, n_slots + N)
+    valid: jax.Array       # (n_slots,) bool — dense slot holds a particle
+    n_overflow: jax.Array  # () int32
+
+
+def padded_shape(shape: Sequence[int]) -> Tuple[int, ...]:
+    return tuple(int(s) + 2 * PAD for s in shape)
+
+
+def _base_cells(p: jax.Array, shape: Sequence[int]) -> jax.Array:
+    """Quadratic-B-spline base cell in PADDED coordinates, clamped so all
+    particles (even far out of bounds) own a padded bin; weights vanish
+    beyond the kernel support, so clamped strays contribute nothing."""
+    base = jnp.floor(p - 0.5).astype(jnp.int32) + PAD
+    hi = jnp.asarray([int(s) + 2 * PAD - 3 for s in shape], jnp.int32)
+    return jnp.clip(base, 0, hi)
+
+
+def _flat_base(p: jax.Array, shape: Sequence[int]) -> jax.Array:
+    base = _base_cells(p, shape)
+    pshape = padded_shape(shape)
+    flat = base[:, 0]
+    for d in range(1, len(pshape)):
+        flat = flat * pshape[d] + base[:, d]
+    return flat
+
+
+def max_bin_count(p: jax.Array, shape: Sequence[int]) -> jax.Array:
+    """Device scalar: max particles sharing one base cell (sizes K)."""
+    flat = _flat_base(jax.lax.stop_gradient(p), shape)
+    n_cells = int(np.prod(padded_shape(shape)))
+    counts = jnp.zeros((n_cells,), jnp.int32).at[flat].add(1)
+    return jnp.max(counts)
+
+
+def bucket_k(k: int, cap: int = 4096) -> int:
+    """Round K up to a power of two (bounded recompile variants)."""
+    k = max(int(k), 1)
+    b = 1
+    while b < k:
+        b *= 2
+    return min(b, cap)
+
+
+@partial(jax.jit, static_argnames=("shape", "K"))
+def bin_particles(p: jax.Array, shape: Tuple[int, ...], K: int) -> Binning:
+    """Assign each particle a slot = rank * n_cells + base cell; ranks
+    >= K park the particle (see Binning). Size K from ``max_bin_count``
+    (+ headroom for drift) so overflow stays rare. Non-differentiable by
+    construction (int-valued)."""
+    p = jax.lax.stop_gradient(p)
+    n = p.shape[0]
+    n_cells = int(np.prod(padded_shape(shape)))
+    n_slots = n_cells * K
+    flat = _flat_base(p, shape)
+    order = jnp.argsort(flat)                      # sorted by cell
+    flat_s = flat[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_seg, ar, 0))
+    rank = ar - seg_start
+    ok = rank < K
+    slot_sorted = jnp.where(ok, jnp.minimum(rank, K - 1) * n_cells + flat_s,
+                            n_slots + order)       # park overflow
+    # invert: slot of canonical particle i
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    valid = jnp.zeros((n_slots,), bool).at[
+        jnp.where(ok, slot_sorted, n_slots)].set(True, mode="drop")
+    return Binning(slot=slot, valid=valid,
+                   n_overflow=jnp.sum(~ok).astype(jnp.int32))
+
+
+def to_binned(binning: Binning, arr: jax.Array) -> jax.Array:
+    """Canonical -> binned, SLOT-MINOR: (N,) -> (n_slots + N,) and
+    (N, C) -> (C, n_slots + N) (empty slots zero). The layout flip keeps
+    the slot axis on the 128-lane minor dim (see module docstring)."""
+    n_total = binning.valid.shape[0] + binning.slot.shape[0]
+    if arr.ndim == 1:
+        return jnp.zeros((n_total,), arr.dtype).at[binning.slot].set(arr)
+    assert arr.ndim == 2
+    out = jnp.zeros((arr.shape[1], n_total), arr.dtype)
+    return out.at[:, binning.slot].set(arr.T)
+
+
+def from_binned(binning: Binning, arr: jax.Array) -> jax.Array:
+    """Binned -> canonical: (n_slots + N,) -> (N,), (C, n_slots + N) ->
+    (N, C). Exact inverse of ``to_binned`` for every particle, parked
+    ones included."""
+    if arr.ndim == 1:
+        return arr[binning.slot]
+    return arr[:, binning.slot].T
+
+
+@partial(jax.jit, static_argnames=("shape", "K"))
+def splat_binned(p_b: jax.Array, attr_b: jax.Array, valid: jax.Array,
+                 shape: Tuple[int, ...], K: int) -> jax.Array:
+    """Dense-window splat of binned particles.
+
+    Args:
+      p_b: (dim, n_slots [+ N]) binned positions in UNPADDED grid
+        coordinates (as given to ``bin_particles``; may include
+        differentiable offsets — the position gradient flows through the
+        weights). The parking region is ignored.
+      attr_b: (n_slots [+ N],) or (C, n_slots [+ N]) binned attributes.
+      valid: (n_slots,) bool from the Binning.
+      shape: unpadded output grid shape.
+
+    Returns: (*shape,) or (*shape, C) grid == flat bspline splat.
+    """
+    ndim = len(shape)
+    pshape = padded_shape(shape)
+    has_c = attr_b.ndim == 2
+    C = attr_b.shape[0] if has_c else 1
+    n_cells = int(np.prod(pshape))
+    n_slots = n_cells * K
+    if not has_c:
+        attr_b = attr_b[None]
+
+    a = jnp.where(valid, attr_b[:, :n_slots], 0.0)
+    a = a.reshape((C, K) + pshape)
+    # per-axis offset of each particle from its binned base cell: the
+    # base is this slot's position in the dense array (broadcast iota),
+    # so the binning carries no float payload
+    frac = []
+    for d in range(ndim):
+        coord = jnp.arange(pshape[d], dtype=jnp.float32).reshape(
+            (1,) + tuple(pshape[d] if i == d else 1 for i in range(ndim)))
+        frac.append(p_b[d, :n_slots].reshape((K,) + pshape)
+                    + jnp.float32(PAD) - coord)
+
+    def w1d(u):
+        au = jnp.abs(u)
+        return jnp.where(au < 0.5, 0.75 - au * au,
+                         jnp.where(au < 1.5, 0.5 * (1.5 - au) ** 2, 0.0))
+
+    # rematerialized: without checkpoint, AD keeps every tap's weight
+    # intermediates alive (3^d taps x several (K, cells) arrays). Taps
+    # are cheap VPU math; recomputing them in the backward is the right
+    # trade (the styler loss OOM'd 27 GB without it).
+    @jax.checkpoint
+    def window(frac, a):
+        # factorized per-axis weights: 3*ndim w1d evaluations shared by
+        # all 3^ndim taps (vs 3^ndim*ndim when evaluated per tap)
+        W = [[w1d(jnp.float32(o) - frac[d]) for o in range(3)]
+             for d in range(ndim)]
+        out = jnp.zeros((C,) + pshape, a.dtype)
+        for off in itertools.product(range(3), repeat=ndim):
+            ws = [W[d][off[d]] for d in range(ndim)]
+            # contract over K without materializing (C, K, cells)
+            contrib = jnp.einsum("k...,k...,k...,ck...->c..." if ndim == 3
+                                 else "k...,k...,ck...->c...", *ws, a)
+            # bin b's tap `off` lands at padded cell b + off (always in
+            # bounds: base is clamped to <= pshape - 3)
+            pads = [(0, 0)] + [(off[d], 0) for d in range(ndim)]
+            out = out + jnp.pad(contrib, pads)[
+                (slice(None),) + tuple(slice(0, pshape[d])
+                                       for d in range(ndim))]
+        return out
+
+    out = window(frac, a)
+    out = out[(slice(None),) + tuple(slice(PAD, PAD + shape[d])
+                                     for d in range(ndim))]
+    return jnp.moveaxis(out, 0, -1) if has_c else out[0]

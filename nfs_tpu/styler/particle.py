@@ -40,9 +40,69 @@ from nfs_tpu.features.losses import (
 from nfs_tpu.io.image import load_image
 from nfs_tpu.ops.resize import octave_shapes
 from nfs_tpu.ops.splat import splat, splat_normalized
+from nfs_tpu.ops.binsplat import (
+    bin_particles,
+    bucket_k,
+    from_binned,
+    max_bin_count,
+    padded_shape,
+    splat_binned,
+    to_binned,
+)
 from nfs_tpu.render.camera import poisson_view_pool, sample_views_stratified
 from nfs_tpu.render.raymarch import raymarch, render2d, render_views
 from nfs_tpu.styler.octave import run_octave
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "shape", "K",
+                                   "scale", "max_offset", "has_dx"),
+         donate_argnums=(0, 1))
+def _binned_chunk(param, opt_state, keys, data, loss_fn, optimizer,
+                  shape, K, scale, max_offset, has_dx):
+    """One rebin + R optimizer iterations, all in a single dispatch.
+
+    Bins at the chunk-start positions, permutes param AND Adam state into
+    the dense (cells, K) layout (Adam is elementwise, so permuting its
+    moments alongside the params is exact), scans R steps gather/scatter-
+    free, and unsorts back to canonical particle order.
+    """
+    x, dens = data["x"], data["dens"]
+    n = x.shape[0]
+    if has_dx:
+        dx = max_offset * jnp.tanh(param["dx"] / max_offset)
+        p = (x + dx) * scale
+    else:
+        p = x * scale
+    bn = bin_particles(p, shape, K)
+    n_slots = bn.valid.shape[0]
+
+    def _to_b(tree):        # canonical (N, ...) leaves -> binned
+        return jax.tree.map(
+            lambda leaf: to_binned(bn, leaf)
+            if (hasattr(leaf, "ndim") and leaf.ndim in (1, 2)
+                and leaf.shape[0] == n) else leaf, tree)
+
+    def _from_b(tree):      # binned (slot-minor) leaves -> canonical
+        return jax.tree.map(
+            lambda leaf: from_binned(bn, leaf)
+            if (hasattr(leaf, "ndim") and leaf.ndim in (1, 2)
+                and leaf.shape[-1] == n_slots + n) else leaf, tree)
+
+    param_b = _to_b(param)
+    state_b = _to_b(opt_state)
+    data_b = dict(data, xb=to_binned(bn, x), densb=to_binned(bn, dens),
+                  valid=bn.valid)
+
+    def step(carry, key):
+        pb, sb = carry
+        loss, grads = jax.value_and_grad(loss_fn)(pb, key, data_b)
+        updates, sb = optimizer.update(grads, sb, pb)
+        pb = optax.apply_updates(pb, updates)
+        return (pb, sb), loss
+
+    (param_b, state_b), losses = jax.lax.scan(step, (param_b, state_b),
+                                              keys)
+    return _from_b(param_b), _from_b(state_b), losses, bn.n_overflow
 
 
 class ParticleStyler:
@@ -122,10 +182,22 @@ class ParticleStyler:
                                       support=pc.support)
         return d_grid, c_grid
 
-    def _render(self, d_grid, c_grid, key, pool):
+    def _octave_render_size(self, scale: float):
+        """Per-octave render resolution (render.scale_with_octave) —
+        coarse octaves render (and run VGG) at proportionally smaller
+        sizes, the same lever that GridStyler uses (grid.py:186)."""
         rc = self.cfg.render
+        if not rc.scale_with_octave:
+            return rc.render_size
+        return tuple(
+            max(rc.min_render_size, int(round(s * scale / 8)) * 8)
+            for s in rc.render_size)
+
+    def _render(self, d_grid, c_grid, key, pool, render_size=None):
+        rc = self.cfg.render
+        render_size = render_size or rc.render_size
         if d_grid.ndim == 2:
-            return render2d(d_grid, out_size=rc.render_size, gamma=rc.gamma,
+            return render2d(d_grid, out_size=render_size, gamma=rc.gamma,
                             color=c_grid)[None]
         if pool is not None:
             idx = jax.random.randint(key, (), 0, pool.shape[0])
@@ -136,7 +208,7 @@ class ParticleStyler:
         if c_grid is None:
             return render_views(d_grid, views[:, 0], views[:, 1],
                                 transmit=rc.transmit,
-                                out_size=rc.render_size, gamma=rc.gamma,
+                                out_size=render_size, gamma=rc.gamma,
                                 method=rc.rotation)
         # color volume: rotate density and color together per view
         from nfs_tpu.render.raymarch import _rotate
@@ -146,7 +218,7 @@ class ParticleStyler:
             cr = jnp.stack([_rotate(c_grid[..., c], t, p, rc.rotation)
                             for c in range(3)], axis=-1)
             return raymarch(dr, transmit=rc.transmit, axis=0,
-                            out_size=rc.render_size, color=cr)
+                            out_size=render_size, color=cr)
 
         return jax.vmap(one)(views[:, 0], views[:, 1])
 
@@ -171,13 +243,14 @@ class ParticleStyler:
         return total
 
     def _get_loss_fn(self, shape: Tuple[int, ...], scale: float):
-        sig = (shape, round(scale, 6))
+        rsize = self._octave_render_size(scale)
+        sig = (shape, round(scale, 6), rsize)
         if sig in self._loss_cache:
             return self._loss_cache[sig]
 
         def loss_fn(param, key, data):
             d_grid, c_grid = self._splat_grids(param, data, scale, shape)
-            imgs = self._render(d_grid, c_grid, key, data["pool"])
+            imgs = self._render(d_grid, c_grid, key, data["pool"], rsize)
             total = self._image_loss(imgs, data)
             if "dx" in param:
                 # keep offsets small (LNST regularizes position changes)
@@ -186,6 +259,110 @@ class ParticleStyler:
 
         self._loss_cache[sig] = loss_fn
         return loss_fn
+
+    def _get_binned_loss_fn(self, shape: Tuple[int, ...], scale: float,
+                            K: int):
+        """Loss over the dense binned layout (ops/binsplat.py). Matches
+        `_get_loss_fn` semantics for kernel='bspline', support=1; density,
+        color and the color-normalization denominator share ONE window
+        pass (channels of the same splat)."""
+        rsize = self._octave_render_size(scale)
+        sig = ("binned", shape, round(scale, 6), K, rsize)
+        if sig in self._loss_cache:
+            return self._loss_cache[sig]
+        pc = self.cfg.particle
+
+        def loss_fn(param_b, key, data_b):
+            # binned leaves are slot-minor: xb/dxb (dim, S), densb (S,),
+            # color (3, S) — see ops/binsplat.py layout rule
+            xb, densb, valid = data_b["xb"], data_b["densb"], data_b["valid"]
+            if "dx" in param_b:
+                dxb = pc.max_offset * jnp.tanh(param_b["dx"] / pc.max_offset)
+                pb = (xb + dxb) * scale
+            else:
+                pb = xb * scale
+            dens_eff = densb
+            if "ddens" in param_b:
+                dens_eff = densb * jnp.exp(param_b["ddens"])
+            if "color" in param_b:
+                colb = jnp.clip(param_b["color"], 0.0, 1.0)
+                ones = jnp.ones_like(dens_eff)
+                attr = jnp.concatenate(
+                    [dens_eff[None], colb, ones[None]], axis=0)
+                out = splat_binned(pb, attr, valid, shape, K)
+                d_grid = out[..., 0] * (scale ** 2)
+                c_grid = out[..., 1:4] / (out[..., 4:5] + 1e-6)
+            else:
+                d_grid = splat_binned(pb, dens_eff, valid, shape,
+                                      K) * (scale ** 2)
+                c_grid = None
+            imgs = self._render(d_grid, c_grid, key, data_b["pool"], rsize)
+            total = self._image_loss(imgs, data_b)
+            if "dx" in param_b:
+                # parked + dense slots hold every particle exactly once;
+                # empty slots are zero — sum/N == canonical mean
+                total += 1e-3 * jnp.sum(param_b["dx"] ** 2) / data_b["n_dx"]
+            return total
+
+        self._loss_cache[sig] = loss_fn
+        return loss_fn
+
+    def _octave_ks(self, x, dx, shapes) -> Optional[list]:
+        """Static bin capacities K for every octave in ONE device dispatch
+        and ONE host sync (syncs over a remote-TPU tunnel cost ~an RTT
+        each — per-octave syncs dominated the binned path's win). Returns
+        None when the binned path shouldn't be used at all; per-octave
+        entries are None where the slot budget is blown."""
+        pc = self.cfg.particle
+        if (pc.splat_impl != "binned" or pc.kernel != "bspline"
+                or pc.support != 1.0):
+            return None
+        p = x + dx if dx is not None else x
+
+        @partial(jax.jit, static_argnames="shps")
+        def counts(p, shps):
+            return jnp.stack([
+                max_bin_count(p * (s[0] / self.grid_shape[0]), s)
+                for s in shps])
+
+        kmaxes = np.asarray(counts(p, tuple(tuple(s) for s in shapes)))
+        ks = []
+        for kmax, shape in zip(kmaxes, shapes):
+            # pow2 bucket; x1.5 headroom for drift-induced crowding
+            K = bucket_k(int(int(kmax) * 1.5) + 1)
+            n_slots = int(np.prod(padded_shape(shape))) * K
+            ks.append(K if n_slots <= pc.max_bin_slots else None)
+        return ks
+
+    def _run_binned_octave(self, param, data, key, shape, scale, K,
+                           callback=None):
+        """Chunked octave driver for the binned path: one dispatch per
+        `rebin_every` iterations (rebin + scan inside the jit); losses
+        stay on device unless a callback forces a sync."""
+        oc = self.cfg.optim
+        pc = self.cfg.particle
+        loss_fn = self._get_binned_loss_fn(tuple(shape), scale, K)
+        n = data["x"].shape[0]
+        has_dx = "dx" in param
+        dims = (param["dx"].size if has_dx else 1)
+        chunk_data = dict(data, n_dx=float(dims))
+        opt_state = self._optimizer.init(param)
+        chunk = max(1, pc.rebin_every)
+        all_losses = []
+        done = 0
+        while done < oc.iters:
+            nst = min(chunk, oc.iters - done)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, nst)
+            param, opt_state, losses, _ = _binned_chunk(
+                param, opt_state, keys, chunk_data, loss_fn=loss_fn,
+                optimizer=self._optimizer, shape=tuple(shape), K=K,
+                scale=scale, max_offset=pc.max_offset, has_dx=has_dx)
+            done += nst
+            all_losses.append(losses)
+            if callback is not None:
+                callback(done, float(jnp.mean(losses)))
+        return param, jnp.concatenate(all_losses)
 
     # ---------------------------------------------------------------- #
 
@@ -211,9 +388,12 @@ class ParticleStyler:
         info = {"octave_losses": []}
 
         shapes = octave_shapes(self.grid_shape, oc.octave_n, oc.octave_scale)
+        dx_now = None
+        if "dx" in param:
+            dx_now = pc.max_offset * jnp.tanh(param["dx"] / pc.max_offset)
+        ks = self._octave_ks(x, dx_now, shapes)
         for o, shape in enumerate(shapes):
             scale = shape[0] / self.grid_shape[0]
-            loss_fn = self._get_loss_fn(tuple(shape), scale)
             data = {
                 "x": x,
                 "dens": dens,
@@ -222,11 +402,17 @@ class ParticleStyler:
                 "targets": self.gram_targets,
             }
             key, sub = jax.random.split(key)
-            param, losses, _ = run_octave(
-                param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
-                b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
-                callback=(partial(callback, octave=o) if callback else None),
-                optimizer=self._optimizer)
+            cb = partial(callback, octave=o) if callback else None
+            K = ks[o] if ks is not None else None
+            if K is not None:
+                param, losses = self._run_binned_octave(
+                    param, data, sub, tuple(shape), scale, K, callback=cb)
+            else:  # flat-scatter fallback (non-bspline kernels, huge K)
+                loss_fn = self._get_loss_fn(tuple(shape), scale)
+                param, losses, _ = run_octave(
+                    param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
+                    b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
+                    callback=cb, optimizer=self._optimizer)
             info["octave_losses"].append(losses)
 
         styled = self.apply_param(pset, param)

@@ -1,0 +1,143 @@
+"""Binned dense splat (ops/binsplat.py) vs the flat scatter reference
+(ops/splat.py) — values, gradients, overflow parking, styler parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfs_tpu.core.config import StyleConfig, replace
+from nfs_tpu.core.pytrees import ParticleSet
+from nfs_tpu.ops import binsplat as B
+from nfs_tpu.ops.splat import splat, splat_normalized
+from nfs_tpu.styler.particle import ParticleStyler
+
+
+def _data(n, shape, seed=0, oob=True):
+    rng = np.random.default_rng(seed)
+    spread = np.array(shape) + (6 if oob else -8)
+    off = -3.0 if oob else 4.0
+    x = jnp.asarray(rng.random((n, len(shape))) * spread + off, jnp.float32)
+    attr = jnp.asarray(rng.random((n,)), jnp.float32)
+    return x, attr
+
+
+@pytest.mark.parametrize("shape", [(20, 16, 24), (40, 32)])
+def test_matches_flat_splat(shape):
+    x, attr = _data(4000, shape)
+    K = B.bucket_k(int(B.max_bin_count(x, shape)))
+    bn = B.bin_particles(x, shape, K)
+    assert int(bn.n_overflow) == 0
+    got = B.splat_binned(B.to_binned(bn, x), B.to_binned(bn, attr),
+                         bn.valid, shape, K)
+    ref = splat(x, attr, shape, kernel="bspline")
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_position_gradient_matches_flat():
+    shape = (16, 12, 14)
+    x, attr = _data(1500, shape)
+    K = B.bucket_k(int(B.max_bin_count(x, shape)))
+    bn = B.bin_particles(x, shape, K)
+    h = jnp.asarray(np.random.default_rng(1).random(shape), jnp.float32)
+    ab = B.to_binned(bn, attr)
+
+    gref = jax.grad(lambda xx: jnp.vdot(
+        splat(xx, attr, shape, kernel="bspline"), h))(x)
+    gbin = jax.grad(lambda xx: jnp.vdot(B.splat_binned(
+        B.to_binned(bn, xx), ab, bn.valid, shape, K), h))(x)
+    np.testing.assert_allclose(gbin, gref, atol=5e-6)
+
+
+def test_channels_match_normalized_splat():
+    shape = (18, 14, 16)
+    x, attr = _data(2000, shape, oob=False)
+    c = jnp.asarray(np.random.default_rng(2).random((2000, 3)), jnp.float32)
+    K = B.bucket_k(int(B.max_bin_count(x, shape)))
+    bn = B.bin_particles(x, shape, K)
+    ones = jnp.ones_like(attr)
+    stacked = jnp.concatenate([attr[:, None], c, ones[:, None]], axis=1)
+    out = B.splat_binned(B.to_binned(bn, x), B.to_binned(bn, stacked),
+                         bn.valid, shape, K)
+    np.testing.assert_allclose(out[..., 0],
+                               splat(x, attr, shape, kernel="bspline"),
+                               atol=5e-6)
+    cn = out[..., 1:4] / (out[..., 4:5] + 1e-6)
+    ref = splat_normalized(x, c, shape, kernel="bspline", eps=1e-6)
+    np.testing.assert_allclose(cn, ref, atol=1e-4)
+
+
+def test_overflow_parks_particles_roundtrip_exact():
+    # force K below true occupancy: many particles in one cell
+    shape = (8, 8)
+    x = jnp.asarray(np.full((32, 2), 4.2), jnp.float32)
+    attr = jnp.arange(32, dtype=jnp.float32)
+    bn = B.bin_particles(x, shape, K=4)
+    assert int(bn.n_overflow) == 28
+    # attribute round trip is exact for EVERY particle, parked included
+    back = B.from_binned(bn, B.to_binned(bn, attr))
+    np.testing.assert_array_equal(back, attr)
+    # splat only carries the K binned particles' mass
+    grid = B.splat_binned(B.to_binned(bn, x), B.to_binned(bn, attr),
+                          bn.valid, shape, 4)
+    full = splat(x, attr, shape, kernel="bspline")
+    assert float(jnp.sum(grid)) < float(jnp.sum(full))
+
+
+def test_slots_are_unique_and_invertible():
+    shape = (12, 10, 8)
+    x, attr = _data(3000, shape)
+    K = B.bucket_k(int(B.max_bin_count(x, shape)))
+    bn = B.bin_particles(x, shape, K)
+    slots = np.asarray(bn.slot)
+    assert len(np.unique(slots)) == len(slots)
+
+
+def _styler_cfg(impl, rebin=3):
+    return replace(StyleConfig(), **{
+        "render.render_size": (128, 128),
+        "optim.octave_n": 2, "optim.iters": 6,
+        "particle.optimize_position": True,
+        "particle.optimize_density": True,
+        "particle.splat_impl": impl,
+        "particle.rebin_every": rebin,
+    })
+
+
+def test_styler_binned_matches_flat_trajectory():
+    """Same data, same seed: binned and flat paths must track each other
+    (small drift-truncation differences only)."""
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                          (128, 128, 3)))
+    rng = np.random.default_rng(0)
+    pset = ParticleSet(
+        x=jnp.asarray(rng.random((1500, 2)) * 40 + 12, jnp.float32),
+        dens=jnp.ones((1500,), jnp.float32))
+    out = {}
+    for impl in ("flat", "binned"):
+        st = ParticleStyler(_styler_cfg(impl), grid_shape=(64, 64),
+                            style_image=style)
+        styled, param, info = st.stylize_frame(pset)
+        out[impl] = (np.asarray(param["dx"]),
+                     np.asarray(jnp.concatenate(info["octave_losses"])))
+    dx_f, loss_f = out["flat"]
+    dx_b, loss_b = out["binned"]
+    np.testing.assert_allclose(loss_b, loss_f, rtol=0.05)
+    assert float(np.mean(np.abs(dx_b - dx_f))) < 0.02
+
+
+def test_styler_binned_3d_color_runs_and_learns():
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(2),
+                                          (64, 64, 3)))
+    cfg = replace(_styler_cfg("binned"), **{
+        "render.render_size": (64, 64), "render.n_views": 2,
+        "particle.optimize_color": True, "optim.iters": 4})
+    rng = np.random.default_rng(1)
+    pset = ParticleSet(
+        x=jnp.asarray(rng.random((800, 3)) * 20 + 6, jnp.float32),
+        dens=jnp.ones((800,), jnp.float32))
+    st = ParticleStyler(cfg, grid_shape=(32, 24, 32), style_image=style)
+    styled, param, info = st.stylize_frame(pset)
+    assert "color" in param and np.isfinite(np.asarray(
+        jnp.concatenate(info["octave_losses"]))).all()
+    assert float(jnp.max(jnp.abs(param["dx"]))) > 0
