@@ -81,6 +81,17 @@ def main():
     total_iters = octave_n * iters
     iters_per_sec = total_iters / wall
 
+    # analytic MFU: FLOPs of the frame's 60 iterations vs v5e bf16 peak
+    # (frozen-VGG fwd+bwd = 2x fwd; see nfs_tpu/utils/flops.py)
+    from nfs_tpu.ops.resize import octave_shapes
+    from nfs_tpu.utils.flops import (TPU_V5E_PEAK_BF16, mfu,
+                                     styler_step_flops)
+    frame_flops = 0.0
+    for oshape in octave_shapes(shape, octave_n, cfg.optim.octave_scale):
+        rsize = styler._octave_render_size(oshape, shape)
+        frame_flops += iters * styler_step_flops(
+            oshape, rsize, cfg.render.n_views, cfg.loss.style_layers)
+    achieved = frame_flops / wall
     losses = [float(l[-1]) for l in info["octave_losses"]]
     result = {
         "metric": "3d_112x64x112_9view_adam_iters_per_sec",
@@ -91,6 +102,9 @@ def main():
         "first_frame_incl_compile_s": round(wall_first, 3),
         "total_iters": total_iters,
         "final_octave_loss": losses[-1],
+        "frame_tflops": round(frame_flops / 1e12, 3),
+        "achieved_tflops_per_s": round(achieved / 1e12, 2),
+        "mfu_vs_v5e_bf16_peak": round(mfu(achieved, TPU_V5E_PEAK_BF16), 4),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

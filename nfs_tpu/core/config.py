@@ -143,6 +143,12 @@ class OptimConfig:
     # Adam moments
     b1: float = 0.9
     b2: float = 0.999
+    # frames per device dispatch for stylize_sequence: 0/1 = streaming
+    # (one dispatch per octave, per-frame observability); F>1 = the whole
+    # multi-octave optimization of F frames is ONE jitted lax.scan
+    # (styler/grid.py _seq_chunk — no per-frame Python dispatch; used when
+    # no per-iteration callback is attached)
+    fused_frames: int = 0
 
 
 @dataclass(frozen=True)

@@ -21,6 +21,12 @@ from nfs_tpu.parallel.sharding import (
 )
 from nfs_tpu.parallel.engine import ParallelSequenceStyler
 from nfs_tpu.parallel.multihost import initialize_multihost
+from nfs_tpu.parallel.spatial import (
+    prepare_spatial,
+    shard_volume_spatial,
+    spatial_mesh,
+    stylize_frame_spatial,
+)
 
 __all__ = [
     "make_mesh",
@@ -29,4 +35,8 @@ __all__ = [
     "make_sharded_window_step",
     "ParallelSequenceStyler",
     "initialize_multihost",
+    "prepare_spatial",
+    "shard_volume_spatial",
+    "spatial_mesh",
+    "stylize_frame_spatial",
 ]

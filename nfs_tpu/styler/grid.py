@@ -50,6 +50,22 @@ from nfs_tpu.render.raymarch import render2d, render_views
 from nfs_tpu.styler.octave import run_octave
 
 
+@partial(jax.jit, static_argnames=("step_fn",), donate_argnums=(0,))
+def _seq_chunk(param, t_idx, keys, dens, vels, data, step_fn):
+    """Scan `step_fn` (one frame's FULL multi-octave optimization) over a
+    chunk of frames in a single device dispatch — the whole-sequence
+    single-dispatch path (SURVEY.md §7 design stance: no per-frame Python
+    dispatch, no per-frame host crossing; dens/vels stay device-resident
+    and are indexed inside the scan)."""
+    def body(p, xs):
+        t, key = xs
+        p, d_star, losses = step_fn(p, t, key, dens, vels, data)
+        return p, (d_star, losses)
+
+    param, (d_stars, losses) = jax.lax.scan(body, param, (t_idx, keys))
+    return param, d_stars, losses
+
+
 class GridStyler:
     """Grid (smoke) stylizer. Host-side orchestration only; all compute
     jitted on device."""
@@ -236,6 +252,83 @@ class GridStyler:
         self._loss_cache[sig] = loss_fn
         return loss_fn
 
+    def _get_seq_step(self, full_shape: Tuple[int, ...], window: int):
+        """Per-frame step for the fused sequence path: recursive-init
+        advection + the complete coarse-to-fine octave optimization of one
+        frame, as a pure jittable function of (param, t, key, dens, vels,
+        data). Cached per (shape, window) so every chunk reuses one
+        executable."""
+        sig = ("seq", tuple(full_shape), window)
+        if sig in self._loss_cache:
+            return self._loss_cache[sig]
+
+        cfg = self.cfg
+        oc = cfg.optim
+        ndim = len(full_shape)
+        shapes = octave_shapes(full_shape, oc.octave_n, oc.octave_scale)
+        optimizer = self._optimizer
+        # closures built OUTSIDE the trace (they allocate weight constants;
+        # building them inside step_fn leaks tracers into the cache)
+        loss_fns = [
+            self._get_loss_fn(ndim, window,
+                              self._octave_render_size(s, full_shape))
+            for s in shapes]
+
+        def step_fn(param, t, key, dens, vels, data):
+            d_full = dens[t]
+            if vels is not None:
+                # recursive init (TNST §6): transport the previous frame's
+                # stylization forward. At t=0 param is zeros, so the
+                # clamped vels[-1 -> 0] advection is a no-op by value.
+                param_t = advect(param, vels[jnp.maximum(t - 1, 0)],
+                                 max_disp=oc.max_disp)
+            else:
+                param_t = param
+            vels_win = None
+            if window and vels is not None:
+                W = window
+                T = vels.shape[0]
+                idx = jnp.concatenate([
+                    jnp.maximum(t - W + jnp.arange(W), 0),
+                    jnp.minimum(t + jnp.arange(W), T - 1)])
+                vels_win = jnp.take(vels, idx, axis=0)  # (2W, *sp, nd)
+
+            p = param_t
+            losses_all = []
+            for o, shape in enumerate(shapes):
+                p = self._resize_param(p, shape)
+                d_o = (resize(d_full, shape) if tuple(shape) != full_shape
+                       else d_full)
+                data_o = dict(data, d=d_o)
+                if vels_win is not None:
+                    if tuple(shape) != full_shape:
+                        data_o["vels"] = jnp.stack([
+                            resize(vels_win[j], shape, is_velocity=True)
+                            for j in range(2 * window)])
+                    else:
+                        data_o["vels"] = vels_win
+                loss_fn = loss_fns[o]
+                opt_state = optimizer.init(p)
+                keys = jax.random.split(jax.random.fold_in(key, o),
+                                        oc.iters)
+
+                def istep(carry, k, _loss_fn=loss_fn, _data=data_o):
+                    pp, ss = carry
+                    loss, grads = jax.value_and_grad(_loss_fn)(pp, k, _data)
+                    updates, ss = optimizer.update(grads, ss, pp)
+                    pp = optax.apply_updates(pp, updates)
+                    return (pp, ss), loss
+
+                (p, _), losses = jax.lax.scan(istep, (p, opt_state), keys)
+                losses_all.append(losses)
+
+            p = self._resize_param(p, full_shape)
+            d_star = jnp.maximum(self._apply_param(p, d_full), 0.0)
+            return p, d_star, jnp.stack(losses_all)  # (octave_n, iters)
+
+        self._loss_cache[sig] = step_fn
+        return step_fn
+
     # ---------------------------------------------------------------- #
     # public API
     # ---------------------------------------------------------------- #
@@ -357,7 +450,7 @@ class GridStyler:
         return d_star, param, info
 
     def stylize_sequence(self, densities, velocities=None, key=None,
-                         callback=None):
+                         callback=None, fused: Optional[int] = None):
         """Stylize a frame sequence with temporal coherence (TNST §6).
 
         Args:
@@ -365,6 +458,14 @@ class GridStyler:
           velocities: optional (T, *spatial, ndim) sim velocities
             (frame-to-frame, cells/frame); required for window > 0 and for
             recursive init.
+          fused: frames per device dispatch. None reads
+            ``optim.fused_frames``; 0/1-with-callback = streaming path
+            (one dispatch per octave). With fused=F>0 and no callback, the
+            complete multi-octave optimization of F frames runs as ONE
+            jitted lax.scan (``_seq_chunk``) — no per-frame Python
+            dispatch. The fused PRNG stream differs from the streaming
+            path's (keys are folded per frame/octave), so the two modes
+            give equally-valid but not bitwise-equal results.
 
         Yields (frame_index, d_star, param) per frame — streaming, so the
         caller can write each frame to disk as it completes (frame-granular
@@ -380,6 +481,12 @@ class GridStyler:
         densities = jnp.asarray(densities, jnp.float32)
         if velocities is not None:
             velocities = jnp.asarray(velocities, jnp.float32)
+
+        fused = cfg.optim.fused_frames if fused is None else fused
+        if fused and fused > 1 and callback is None:
+            yield from self._stylize_sequence_fused(
+                densities, velocities, key, fused)
+            return
 
         # NOTE: every frame handed in is stylized — frame selection
         # (stride, range) is the CALLER's job (the CLI builds the strided
@@ -400,3 +507,28 @@ class GridStyler:
                 densities[t], vels=vels_win, init_param=param,
                 key=sub, callback=callback)
             yield t, d_star, param
+
+    def _stylize_sequence_fused(self, densities, velocities, key,
+                                fused: int):
+        """Fused driver: chunks of `fused` frames, one dispatch each."""
+        T = densities.shape[0]
+        full_shape = tuple(densities.shape[1:])
+        window = (self.cfg.optim.window if velocities is not None else 0)
+        step_fn = self._get_seq_step(full_shape, window)
+        data = {
+            "pool": self.view_pool,
+            "vgg": self.vgg_params,
+            "targets": self.gram_targets,
+            "content": self.content_feats,
+        }
+        param = self.init_param(full_shape)
+        for t0 in range(0, T, fused):
+            n = min(fused, T - t0)
+            t_idx = jnp.arange(t0, t0 + n, dtype=jnp.int32)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            param, d_stars, _ = _seq_chunk(
+                param, t_idx, keys, densities, velocities, data,
+                step_fn=step_fn)
+            for i in range(n):
+                yield t0 + i, d_stars[i], (param if i == n - 1 else None)

@@ -94,9 +94,17 @@ def enable_compile_cache(path: str = "/tmp/nfs_tpu_jax_cache",
                          min_compile_secs: float = 0.5) -> None:
     """Enable JAX's persistent compilation cache (verified working through
     the axon remote-compile path: cross-process recompiles drop from
-    seconds/minutes to ~20 ms). Safe to call multiple times."""
+    seconds/minutes to ~20 ms). Safe to call multiple times.
+
+    The cache dir is keyed by backend platform: CPU AOT executables are
+    machine-feature-targeted, and a CPU run loading entries written by the
+    TPU-client process hits cpu_aot_loader machine-mismatch errors (and
+    stalls). NOTE: this initializes the backend — call any
+    ``jax.config.update("jax_platforms", ...)`` override BEFORE this.
+    """
     import os
 
+    path = f"{path}_{jax.default_backend()}"
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

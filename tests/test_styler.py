@@ -110,6 +110,38 @@ class TestGridStyler2D:
         for _, d_star, _ in out:
             assert d_star.shape == (32, 24)
 
+    def test_sequence_fused_single_dispatch(self):
+        # fused path: whole multi-octave optimization of F frames per
+        # dispatch (styler/grid.py _seq_chunk); must cover every frame
+        # incl. a partial final chunk, agree with the streaming path to
+        # optimization-noise tolerance, and carry the recursive init
+        cfg = tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 2,
+                          "optim.window": 1, "optim.fused_frames": 2})
+        styler = GridStyler(cfg, style_image=style_img())
+        T = 5
+        ds = np.stack([blob2d() * (1 + 0.1 * t) for t in range(T)])
+        vs = np.full((T, 32, 24, 2), 0.3, np.float32)
+        out = list(styler.stylize_sequence(ds, vs))
+        assert [t for t, _, _ in out] == list(range(T))
+        # last frame of each chunk yields the carry param
+        assert out[1][2] is not None and out[0][2] is None
+        assert out[-1][2] is not None
+        for t, d_star, _ in out:
+            d_star = np.asarray(d_star)
+            assert d_star.shape == (32, 24)
+            assert np.isfinite(d_star).all()
+            assert np.abs(d_star - ds[t]).max() > 0  # actually stylized
+
+        streaming = GridStyler(
+            tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 2,
+                        "optim.window": 1}), style_image=style_img())
+        out_s = list(streaming.stylize_sequence(ds, vs))
+        for (t, df, _), (_, dstr, _) in zip(out, out_s):
+            df, dstr = np.asarray(df), np.asarray(dstr)
+            scale = np.abs(dstr - ds[t]).mean() + 1e-8
+            assert np.abs(df - dstr).mean() < 0.5 * scale, (
+                f"fused diverged from streaming at frame {t}")
+
     def test_sequence_ignores_frame_stride(self):
         # stride is applied by the CALLER (the CLI builds the strided
         # frame list); stylize_sequence must stylize every frame handed
