@@ -100,6 +100,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_shape", type=int, nargs="+", default=None,
                    help="splat grid shape for particle mode")
     # parallel (no reference equivalent — single GPU there)
+    p.add_argument("--fused", type=int, default=0,
+                   help="frames per device dispatch for grid sequences "
+                        "(0 = streaming; F>1 fuses the whole multi-octave "
+                        "optimization of F frames into one dispatch — "
+                        "fastest, but not compatible with in-frame "
+                        "checkpointing)")
+    p.add_argument("--checkpoint_in_frame", action="store_true",
+                   help="checkpoint {param, Adam state} every log_every "
+                        "iterations inside each frame; a restarted run "
+                        "resumes the interrupted frame mid-octave and "
+                        "bit-matches an uninterrupted run")
     p.add_argument("--parallel", action="store_true",
                    help="jointly optimize all frames on a (frames, views) "
                         "device mesh (ParallelSequenceStyler)")
@@ -246,11 +257,34 @@ def main(argv=None):
             if os.path.exists(os.path.join(
                     cfg.data.data_dir, cfg.data.v_path % todo[0])):
                 vels = [store.load_velocity(t) for t in todo]
+            # warm resume: continue the recursive-init chain bit-exactly
+            # from the last completed frame's saved param (+ its velocity,
+            # for the forward transport into the first todo frame)
+            init_param = prev_velocity = None
+            if start > 0:
+                prev_t = frames[start - 1]
+                ppath = os.path.join(out_dir, f"param_{prev_t:04d}.npz")
+                if os.path.exists(ppath):
+                    with np.load(ppath) as z:
+                        init_param = jnp.asarray(z["param"])
+                    vpath = os.path.join(cfg.data.data_dir,
+                                         cfg.data.v_path % prev_t)
+                    if os.path.exists(vpath):
+                        prev_velocity = jnp.asarray(
+                            store.load_velocity(prev_t))
+            ckpt = (os.path.join(out_dir, "inframe_ckpt.npz")
+                    if args.checkpoint_in_frame else None)
             t0 = time.time()
-            for i, d_star, _ in styler.stylize_sequence(densities, vels):
+            for i, d_star, param in styler.stylize_sequence(
+                    densities, vels, fused=args.fused,
+                    checkpoint_path=ckpt, init_param=init_param,
+                    prev_velocity=prev_velocity, frame_offset=start):
                 t = todo[i]
                 out_path = os.path.join(out_dir, cfg.data.d_path % t)
                 out_store.save_density(t, np.asarray(d_star))
+                if param is not None:
+                    np.savez(os.path.join(out_dir, f"param_{t:04d}.npz"),
+                             param=np.asarray(param))
                 preview(t, d_star)
                 dt = time.time() - t0
                 manifest.mark(t, out_path, wall_s=round(dt, 3))
@@ -261,8 +295,10 @@ def main(argv=None):
         else:
             t = frames[0]
             d = store.load_density(t)
+            ckpt = (os.path.join(out_dir, "inframe_ckpt.npz")
+                    if args.checkpoint_in_frame else None)
             t0 = time.time()
-            d_star, _, info = styler.stylize_frame(d)
+            d_star, _, info = styler.stylize_frame(d, checkpoint_path=ckpt)
             dt = time.time() - t0
             out_store.save_density(t, np.asarray(d_star))
             preview(t, d_star)

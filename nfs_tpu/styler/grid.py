@@ -450,7 +450,11 @@ class GridStyler:
         return d_star, param, info
 
     def stylize_sequence(self, densities, velocities=None, key=None,
-                         callback=None, fused: Optional[int] = None):
+                         callback=None, fused: Optional[int] = None,
+                         checkpoint_path: Optional[str] = None,
+                         init_param: Optional[jax.Array] = None,
+                         prev_velocity: Optional[jax.Array] = None,
+                         frame_offset: int = 0):
         """Stylize a frame sequence with temporal coherence (TNST §6).
 
         Args:
@@ -460,12 +464,25 @@ class GridStyler:
             recursive init.
           fused: frames per device dispatch. None reads
             ``optim.fused_frames``; 0/1-with-callback = streaming path
-            (one dispatch per octave). With fused=F>0 and no callback, the
-            complete multi-octave optimization of F frames runs as ONE
-            jitted lax.scan (``_seq_chunk``) — no per-frame Python
-            dispatch. The fused PRNG stream differs from the streaming
-            path's (keys are folded per frame/octave), so the two modes
-            give equally-valid but not bitwise-equal results.
+            (one dispatch per octave). With fused=F>0 and no callback/
+            checkpointing, the complete multi-octave optimization of F
+            frames runs as ONE jitted lax.scan (``_seq_chunk``) — no
+            per-frame Python dispatch. The fused PRNG stream differs from
+            the streaming path's, so the two modes give equally-valid but
+            not bitwise-equal results.
+          checkpoint_path: in-frame checkpointing (streaming path only):
+            each frame's {param, Adam state} is checkpointed every
+            log_every iterations and a restarted call RESUMES the
+            interrupted frame mid-octave (styler/octave.py PRNG
+            fast-forward keeps the resumed run bit-identical).
+          init_param / prev_velocity / frame_offset: resume the recursive
+            warm-start chain mid-sequence: `init_param` is the PREVIOUS
+            (already completed) frame's final param, `prev_velocity` that
+            frame's sim velocity (used to advect it forward), and
+            `frame_offset` the absolute position of densities[0] in the
+            original sequence. Per-frame PRNG keys are
+            fold_in(key, frame_offset + t) — absolute-indexed, so a
+            resumed run draws the same keys as an uninterrupted one.
 
         Yields (frame_index, d_star, param) per frame — streaming, so the
         caller can write each frame to disk as it completes (frame-granular
@@ -475,7 +492,7 @@ class GridStyler:
         W = cfg.optim.window
         T = len(densities)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        param = None
+        param = init_param
         # ONE bulk host->device upload; per-frame transfers over a remote
         # TPU tunnel cost ~an RTT each and dominated sequence time.
         densities = jnp.asarray(densities, jnp.float32)
@@ -483,7 +500,8 @@ class GridStyler:
             velocities = jnp.asarray(velocities, jnp.float32)
 
         fused = cfg.optim.fused_frames if fused is None else fused
-        if fused and fused > 1 and callback is None:
+        if (fused and fused > 1 and callback is None
+                and checkpoint_path is None and init_param is None):
             yield from self._stylize_sequence_fused(
                 densities, velocities, key, fused)
             return
@@ -498,14 +516,25 @@ class GridStyler:
                 idx = [max(t - W + j, 0) for j in range(W)] + \
                       [min(t + j, T - 1) for j in range(W)]
                 vels_win = jnp.stack([velocities[i] for i in idx])
-            if param is not None and velocities is not None:
+            if param is not None:
                 # recursive init: transport previous stylization forward
-                param = advect(param, velocities[max(t - 1, 0)],
-                               max_disp=cfg.optim.max_disp)
-            key, sub = jax.random.split(key)
+                # (for a mid-sequence resume, frame 0's predecessor
+                # velocity comes in as prev_velocity)
+                v_prev = None
+                if t == 0 and prev_velocity is not None:
+                    v_prev = jnp.asarray(prev_velocity, jnp.float32)
+                elif t > 0 and velocities is not None:
+                    v_prev = velocities[t - 1]
+                if v_prev is not None:
+                    param = advect(param, v_prev,
+                                   max_disp=cfg.optim.max_disp)
+            # absolute-frame-indexed keys: a resumed run (frame_offset>0)
+            # draws the exact keys the uninterrupted run drew
+            sub = jax.random.fold_in(key, frame_offset + t)
             d_star, param, _ = self.stylize_frame(
                 densities[t], vels=vels_win, init_param=param,
-                key=sub, callback=callback)
+                key=sub, callback=callback,
+                checkpoint_path=checkpoint_path)
             yield t, d_star, param
 
     def _stylize_sequence_fused(self, densities, velocities, key,
