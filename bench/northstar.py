@@ -32,6 +32,10 @@ def main():
     p.add_argument("--window", type=int, default=1)
     p.add_argument("--fused", type=int, default=8,
                    help="frames per device dispatch (0 = streaming path)")
+    p.add_argument("--sim_budget", type=float, default=420.0,
+                   help="seconds of sim generation per invocation (clean "
+                        "chunk-boundary exit + resume; avoids hard kills "
+                        "that wedge the remote TPU tunnel)")
     p.add_argument("--sim_only", action="store_true",
                    help="generate + cache the sim data, then exit (lets "
                         "sim and stylization run in separate processes "
@@ -53,6 +57,9 @@ def main():
     #    clock like the reference's offline mantaflow step). Cached on
     #    disk so repeat benchmark runs skip it.
     import os
+
+    from nfs_tpu.sim.smoke import smoke_sequence_cached
+
     cache = f"/tmp/northstar_{args.frames}.npz"
     t0 = time.time()
     if os.path.exists(cache):
@@ -61,13 +68,21 @@ def main():
         t_sim = time.time() - t0
         print(f"sim: loaded cache in {t_sim:.1f}s", flush=True)
     else:
-        ds, vs = smoke_sequence(
+        # resumable chunked generation: the 3D solver compile alone is
+        # O(minutes) on the remote TPU; progress survives a time-boxed
+        # process (re-invoke --sim_only until it reports complete)
+        complete = smoke_sequence_cached(
             SmokeConfig(shape=(112, 64, 112),
                         source_center=(0.5, 0.85, 0.5),
                         jacobi_iters=20, max_disp=2.0),
-            args.frames, warmup=10)
-        np.savez(cache, d=ds, v=vs)
+            args.frames, cache, warmup=10, budget_s=args.sim_budget)
         t_sim = time.time() - t0
+        if not complete:
+            print(f"sim: budget hit after {t_sim:.1f}s — partial progress "
+                  f"saved, re-run to continue", flush=True)
+            return
+        with np.load(cache) as z:
+            ds, vs = z["d"], z["v"]
         print(f"sim: {args.frames} frames in {t_sim:.1f}s", flush=True)
     if args.sim_only:
         return

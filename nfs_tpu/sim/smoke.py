@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,30 +167,129 @@ class SmokeSolver:
         return d, v
 
 
-def smoke_sequence(cfg: SmokeConfig, n_frames: int, warmup: int = 0
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+def smoke_sequence(cfg: SmokeConfig, n_frames: int, warmup: int = 0,
+                   chunk: int = 16) -> Tuple[np.ndarray, np.ndarray]:
     """Run the solver for n_frames (after `warmup` discarded steps) fully
     on-device; returns (densities (T, *shape), velocities (T, *shape, nd)).
+
+    The run is chunked: ONE jitted scan of `chunk` steps is compiled and
+    reused for every chunk (and for warmup). The solver body (MacCormack
+    + 20-iter Jacobi + vorticity) compiles in O(minutes) at 3D production
+    shapes — baking the frame count into the program meant every new T
+    paid that compile; with a fixed chunk the persistent cache makes every
+    sequence length after the first compile ~free. Chunk results stream to
+    host per dispatch, so peak device memory is O(chunk) frames instead of
+    O(T).
     """
     solver = SmokeSolver(cfg)
-    d0 = jnp.zeros(cfg.shape, jnp.float32)
-    v0 = jnp.zeros(cfg.shape + (len(cfg.shape),), jnp.float32)
+    d = jnp.zeros(cfg.shape, jnp.float32)
+    v = jnp.zeros(cfg.shape + (len(cfg.shape),), jnp.float32)
 
     @jax.jit
-    def run(d, v):
-        def warm(carry, _):
-            d, v = carry
-            return solver.step(d, v), None
-
-        (d, v), _ = jax.lax.scan(warm, (d, v), None, length=warmup)
-
+    def run_chunk(d, v):
         def record(carry, _):
             d, v = carry
             d, v = solver.step(d, v)
             return (d, v), (d, v)
 
-        _, (ds, vs) = jax.lax.scan(record, (d, v), None, length=n_frames)
-        return ds, vs
+        (d, v), (ds, vs) = jax.lax.scan(record, (d, v), None, length=chunk)
+        return d, v, ds, vs
 
-    ds, vs = run(d0, v0)
-    return np.asarray(ds), np.asarray(vs)
+    for _ in range(-(-warmup // chunk)):
+        d, v, _, _ = run_chunk(d, v)
+    # warmup rounds UP to a chunk multiple (more settle, never less)
+
+    out_d, out_v = [], []
+    done = 0
+    while done < n_frames:
+        d, v, ds, vs = run_chunk(d, v)
+        take = min(chunk, n_frames - done)
+        out_d.append(np.asarray(ds[:take]))
+        out_v.append(np.asarray(vs[:take]))
+        done += take
+    return np.concatenate(out_d), np.concatenate(out_v)
+
+
+def smoke_sequence_cached(cfg: SmokeConfig, n_frames: int,
+                          cache_path: str, warmup: int = 0,
+                          chunk: int = 16,
+                          budget_s: Optional[float] = None) -> bool:
+    """Resumable ``smoke_sequence``: chunk outputs and the solver carry
+    state stream to ``{cache_path}.part.npz`` so generation survives
+    interruption (SURVEY.md §5 failure recovery, applied to data gen —
+    3D solver compiles are O(minutes) on a remote TPU and long runs may
+    be time-boxed by the environment).
+
+    Returns True when ``cache_path`` holds the complete (d, v) arrays;
+    False when the time budget ran out mid-way (re-invoke to continue —
+    the result is bit-identical to an uninterrupted run since chunks are
+    deterministic given the carried state).
+    """
+    import os
+    import time
+
+    t0 = time.time()
+    part = cache_path + ".part.npz"
+    solver = SmokeSolver(cfg)
+    nd = len(cfg.shape)
+    if os.path.exists(cache_path):
+        return True
+    if os.path.exists(part):
+        with np.load(part) as z:
+            d = jnp.asarray(z["carry_d"])
+            v = jnp.asarray(z["carry_v"])
+            out_d = [z["d"]] if z["d"].size else []
+            out_v = [z["v"]] if z["v"].size else []
+            done = int(z["done"])
+            warmed = True
+    else:
+        d = jnp.zeros(cfg.shape, jnp.float32)
+        v = jnp.zeros(cfg.shape + (nd,), jnp.float32)
+        out_d, out_v, done, warmed = [], [], 0, False
+
+    @jax.jit
+    def run_chunk(d, v):
+        def record(carry, _):
+            d, v = carry
+            d, v = solver.step(d, v)
+            return (d, v), (d, v)
+
+        (d, v), (ds, vs) = jax.lax.scan(record, (d, v), None, length=chunk)
+        return d, v, ds, vs
+
+    def save_part():
+        tmp = part[:-4] + "_tmp.npz"  # keep .npz suffix (savez appends)
+        np.savez(tmp, carry_d=np.asarray(d), carry_v=np.asarray(v),
+                 d=(np.concatenate(out_d) if out_d
+                    else np.zeros((0,) + cfg.shape, np.float32)),
+                 v=(np.concatenate(out_v) if out_v
+                    else np.zeros((0,) + cfg.shape + (nd,), np.float32)),
+                 done=done)
+        os.replace(tmp, part)
+
+    if not warmed:
+        for _ in range(-(-warmup // chunk)):
+            d, v, _, _ = run_chunk(d, v)
+
+    while done < n_frames:
+        d, v, ds, vs = run_chunk(d, v)
+        take = min(chunk, n_frames - done)
+        out_d.append(np.asarray(ds[:take]))
+        out_v.append(np.asarray(vs[:take]))
+        done += take
+        save_part()
+        if budget_s is not None and time.time() - t0 > budget_s:
+            return done >= n_frames and _finalize(cache_path, part,
+                                                  out_d, out_v)
+    return _finalize(cache_path, part, out_d, out_v)
+
+
+def _finalize(cache_path: str, part: str, out_d, out_v) -> bool:
+    import os
+
+    np.savez(cache_path + ".tmp.npz", d=np.concatenate(out_d),
+             v=np.concatenate(out_v))
+    os.replace(cache_path + ".tmp.npz", cache_path)
+    if os.path.exists(part):
+        os.unlink(part)
+    return True

@@ -107,3 +107,30 @@ class TestVorticity3D:
         fmag = jnp.sqrt((f ** 2).sum(-1))
         rel = np.abs(np.asarray(dot)) / (np.asarray(wmag * fmag) + 1e-6)
         assert rel.max() < 1e-4
+
+
+class TestResumableSequence:
+    def test_budgeted_resume_bit_matches_one_shot(self, tmp_path):
+        # smoke_sequence_cached with budget 0 finishes one chunk per
+        # invocation; chained invocations must reproduce the one-shot
+        # result bit-for-bit (the carry state round-trips through the
+        # .part file exactly)
+        from nfs_tpu.sim.smoke import smoke_sequence_cached
+
+        cfg = SmokeConfig(shape=(12, 10, 12),
+                          source_center=(0.5, 0.85, 0.5), jacobi_iters=6,
+                          max_disp=2.0)
+        ref_d, ref_v = smoke_sequence(cfg, 10, warmup=4, chunk=4)
+
+        path = str(tmp_path / "seq.npz")
+        n = 1
+        while not smoke_sequence_cached(cfg, 10, path, warmup=4, chunk=4,
+                                        budget_s=0):
+            n += 1
+            assert n < 10, "resume loop did not terminate"
+        assert n > 1, "budget 0 should need several invocations"
+        with np.load(path) as z:
+            assert np.array_equal(ref_d, z["d"])
+            assert np.array_equal(ref_v, z["v"])
+        # idempotent once complete
+        assert smoke_sequence_cached(cfg, 10, path, warmup=4, chunk=4)
