@@ -151,12 +151,15 @@ def advect(field: jax.Array, vel: jax.Array, dt: float = 1.0,
     return out.astype(field.dtype) if out.dtype != field.dtype else out
 
 
-def _pool_minmax(field: jax.Array, radius: int):
-    """(min, max) over a (2*radius+1)**d neighborhood via reduce_window."""
-    ndim = field.ndim
-    win = (2 * radius + 1,) * ndim
-    strides = (1,) * ndim
-    pad = [(radius, radius)] * ndim
+def _pool_minmax(field: jax.Array, radius: int,
+                 spatial_ndim: Optional[int] = None):
+    """(min, max) over a (2*radius+1)**d spatial neighborhood via
+    reduce_window; a trailing channel axis (field.ndim > spatial_ndim) is
+    pooled per-channel."""
+    ndim = field.ndim if spatial_ndim is None else spatial_ndim
+    win = (2 * radius + 1,) * ndim + (1,) * (field.ndim - ndim)
+    strides = (1,) * field.ndim
+    pad = [(radius, radius)] * ndim + [(0, 0)] * (field.ndim - ndim)
     mins = -jax.lax.reduce_window(-field, -jnp.inf, jax.lax.max, win,
                                   strides, pad)
     maxs = jax.lax.reduce_window(field, -jnp.inf, jax.lax.max, win,
@@ -182,7 +185,8 @@ def advect_maccormack(field: jax.Array, vel: jax.Array, dt: float = 1.0,
         fwd = _advect_window(field, vel, dt, mode, max_disp)
         bwd = _advect_window(fwd, vel, -dt, mode, max_disp)
         out = fwd + 0.5 * (field - bwd)
-        mins, maxs = _pool_minmax(field, int(math.ceil(max_disp)) + 1)
+        mins, maxs = _pool_minmax(field, int(math.ceil(max_disp)) + 1,
+                                  spatial_ndim=ndim)
         return jnp.clip(out, mins, maxs)
 
     coords = identity_coords(vel.shape[:-1]) - dt * vel.astype(jnp.float32)

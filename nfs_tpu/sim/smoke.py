@@ -146,10 +146,10 @@ class SmokeSolver:
         d = jnp.clip(d + cfg.source_rate * self.source * cfg.dt, 0.0, 2.0)
         # 2. advect density & velocity (MacCormack for velocity)
         d = advect(d, v, dt=cfg.dt, max_disp=cfg.max_disp)
-        v = jnp.stack(
-            [advect_maccormack(v[..., i], v, dt=cfg.dt,
-                               max_disp=cfg.max_disp)
-             for i in range(ndim)], axis=-1)
+        # all velocity components share ONE channeled MacCormack: 1/ndim
+        # the window instances (compile) and one fused pass over memory
+        # (runtime) vs per-component advection
+        v = advect_maccormack(v, v, dt=cfg.dt, max_disp=cfg.max_disp)
         # 3. buoyancy (up = negative index direction on the up axis)
         v = v.at[..., self.up_axis].add(-cfg.buoyancy * d * cfg.dt)
         # 4. vorticity confinement
@@ -225,27 +225,29 @@ def smoke_sequence_cached(cfg: SmokeConfig, n_frames: int,
     the result is bit-identical to an uninterrupted run since chunks are
     deterministic given the carried state).
     """
+    import glob
     import os
+    import shutil
     import time
 
     t0 = time.time()
-    part = cache_path + ".part.npz"
+    part_dir = cache_path + ".part"
+    state_path = os.path.join(part_dir, "state.npz")
     solver = SmokeSolver(cfg)
     nd = len(cfg.shape)
     if os.path.exists(cache_path):
         return True
-    if os.path.exists(part):
-        with np.load(part) as z:
+    os.makedirs(part_dir, exist_ok=True)
+    if os.path.exists(state_path):
+        with np.load(state_path) as z:
             d = jnp.asarray(z["carry_d"])
             v = jnp.asarray(z["carry_v"])
-            out_d = [z["d"]] if z["d"].size else []
-            out_v = [z["v"]] if z["v"].size else []
             done = int(z["done"])
-            warmed = True
+        warmed = True
     else:
         d = jnp.zeros(cfg.shape, jnp.float32)
         v = jnp.zeros(cfg.shape + (nd,), jnp.float32)
-        out_d, out_v, done, warmed = [], [], 0, False
+        done, warmed = 0, False
 
     @jax.jit
     def run_chunk(d, v):
@@ -257,39 +259,36 @@ def smoke_sequence_cached(cfg: SmokeConfig, n_frames: int,
         (d, v), (ds, vs) = jax.lax.scan(record, (d, v), None, length=chunk)
         return d, v, ds, vs
 
-    def save_part():
-        tmp = part[:-4] + "_tmp.npz"  # keep .npz suffix (savez appends)
-        np.savez(tmp, carry_d=np.asarray(d), carry_v=np.asarray(v),
-                 d=(np.concatenate(out_d) if out_d
-                    else np.zeros((0,) + cfg.shape, np.float32)),
-                 v=(np.concatenate(out_v) if out_v
-                    else np.zeros((0,) + cfg.shape + (nd,), np.float32)),
-                 done=done)
-        os.replace(tmp, part)
-
     if not warmed:
+        tc = time.time()
         for _ in range(-(-warmup // chunk)):
             d, v, _, _ = run_chunk(d, v)
+        print(f"  sim warmup(+compile): {time.time() - tc:.1f}s",
+              flush=True)
 
     while done < n_frames:
+        tc = time.time()
         d, v, ds, vs = run_chunk(d, v)
         take = min(chunk, n_frames - done)
-        out_d.append(np.asarray(ds[:take]))
-        out_v.append(np.asarray(vs[:take]))
+        # append-only chunk files + tiny carry state: O(chunk) IO per
+        # chunk (re-writing the full accumulation each chunk was O(T^2))
+        tmp = os.path.join(part_dir, "chunk_tmp.npz")
+        np.savez(tmp, d=np.asarray(ds[:take]), v=np.asarray(vs[:take]))
+        os.replace(tmp, os.path.join(part_dir, f"chunk_{done:05d}.npz"))
         done += take
-        save_part()
+        np.savez(os.path.join(part_dir, "state_tmp.npz"),
+                 carry_d=np.asarray(d), carry_v=np.asarray(v), done=done)
+        os.replace(os.path.join(part_dir, "state_tmp.npz"), state_path)
+        print(f"  sim frames {done}/{n_frames}: {time.time() - tc:.1f}s",
+              flush=True)
         if budget_s is not None and time.time() - t0 > budget_s:
-            return done >= n_frames and _finalize(cache_path, part,
-                                                  out_d, out_v)
-    return _finalize(cache_path, part, out_d, out_v)
-
-
-def _finalize(cache_path: str, part: str, out_d, out_v) -> bool:
-    import os
-
-    np.savez(cache_path + ".tmp.npz", d=np.concatenate(out_d),
-             v=np.concatenate(out_v))
+            if done < n_frames:
+                return False
+    # finalize: concatenate chunk files -> one npz
+    chunks = sorted(glob.glob(os.path.join(part_dir, "chunk_*.npz")))
+    ds = np.concatenate([np.load(c)["d"] for c in chunks])[:n_frames]
+    vs = np.concatenate([np.load(c)["v"] for c in chunks])[:n_frames]
+    np.savez(cache_path + ".tmp.npz", d=ds, v=vs)
     os.replace(cache_path + ".tmp.npz", cache_path)
-    if os.path.exists(part):
-        os.unlink(part)
+    shutil.rmtree(part_dir, ignore_errors=True)
     return True

@@ -258,3 +258,17 @@ class TestAdvectWindow:
         np.testing.assert_allclose(np.asarray(gf_fast),
                                    np.asarray(gf_ref), atol=1e-4,
                                    rtol=1e-3)
+
+
+def test_maccormack_channeled_matches_per_component():
+    # the smoke solver advects all velocity components in ONE channeled
+    # MacCormack call; must match per-component advection to float
+    # reassociation tolerance
+    from nfs_tpu.ops.advect import advect_maccormack
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((14, 10, 12, 3)) * 1.5, jnp.float32)
+    f = jnp.asarray(rng.random((14, 10, 12, 3)), jnp.float32)
+    fused = advect_maccormack(f, v, dt=1.0, max_disp=2.0)
+    per = jnp.stack([advect_maccormack(f[..., i], v, dt=1.0, max_disp=2.0)
+                     for i in range(3)], axis=-1)
+    assert float(jnp.max(jnp.abs(fused - per))) < 1e-5
