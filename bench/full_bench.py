@@ -229,6 +229,93 @@ def bench_particles_3d(quick):
             "wall_s": round(wall, 3)}
 
 
+def bench_lnst_vs_tnst_sequence(quick):
+    """LNST's raison d'etre (LNST §5-6, the papers' ~10x headline): a
+    SEQUENCE is stylized by optimizing keyframes only + interpolating
+    per-particle attributes, while TNST must optimize every frame. Both
+    run the same grid scale / iteration budget per optimized frame; the
+    metric is per-frame wall-clock over the whole sequence."""
+    import jax
+    import jax.numpy as jnp
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.core.pytrees import ParticleSet
+    from nfs_tpu.styler.grid import GridStyler
+    from nfs_tpu.styler.particle import ParticleStyler
+
+    T = 10 if quick else 20
+    n_p = 50_000 if quick else 200_000
+    iters = 6 if quick else 20
+    stride = 5 if quick else 10
+    grid = (96, 64, 96)
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                          (256, 256, 3)))
+    common = {
+        "render.render_size": (256, 256),
+        "render.n_views": 9, "render.transmit": 0.05,
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": 2, "optim.iters": iters,
+    }
+
+    # shared scene: particles advected by a swirl flow; TNST sees the
+    # splatted density sequence, LNST the particle sequence (identical
+    # content, each engine's native representation)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.random((n_p, 3)) * np.array([80, 48, 80])
+                     + np.array([8, 8, 8]), jnp.float32)
+    dens = jnp.ones((n_p,), jnp.float32)
+
+    @jax.jit
+    def step_particles(x):
+        c = jnp.asarray([48.0, 32.0, 48.0])
+        r = x - c
+        swirl = jnp.stack([-r[:, 2], 0.3 * jnp.ones_like(r[:, 0]),
+                           r[:, 0]], axis=-1)
+        return x + 0.02 * swirl
+
+    xs = [x0]
+    for _ in range(T - 1):
+        xs.append(step_particles(xs[-1]))
+    psets = [ParticleSet(x=x, dens=dens) for x in xs]
+
+    lcfg = replace(StyleConfig(), **dict(
+        common, **{"particle.optimize_position": True,
+                   "particle.optimize_density": True,
+                   "particle.keyframe_stride": stride}))
+    lst = ParticleStyler(lcfg, grid_shape=grid, style_image=style)
+
+    def run_lnst():
+        outs = [np.asarray(s.x) for _, s in lst.stylize_keyframes(psets)]
+        assert len(outs) == T
+
+    gcfg = replace(StyleConfig(), **dict(common, **{"optim.fused_frames": 5}))
+    gst = GridStyler(gcfg, style_image=style)
+    ds = np.stack([np.asarray(lst.rasterize(p)) for p in psets])
+
+    def run_tnst():
+        for _, d_star, _ in gst.stylize_sequence(ds):
+            pass
+        np.asarray(d_star)
+
+    # full warm pass each (compiles amortize across real sequences),
+    # then the timed pass
+    run_lnst()
+    t0 = time.time()
+    run_lnst()
+    lnst_wall = time.time() - t0
+
+    run_tnst()
+    t0 = time.time()
+    run_tnst()
+    tnst_wall = time.time() - t0
+
+    return {"metric": "lnst_vs_tnst_sequence",
+            "frames": T, "n_particles": n_p,
+            "keyframe_stride": stride,
+            "lnst_s_per_frame": round(lnst_wall / T, 3),
+            "tnst_s_per_frame": round(tnst_wall / T, 3),
+            "lnst_speedup": round(tnst_wall / lnst_wall, 2)}
+
+
 BENCHES = {
     "2d_single": bench_2d_single,
     "2d_512": bench_2d_512,
@@ -237,6 +324,7 @@ BENCHES = {
     "3d_seq_velocity": bench_3d_sequence_velocity,
     "particles": bench_particles,
     "particles_3d": bench_particles_3d,
+    "lnst_vs_tnst_seq": bench_lnst_vs_tnst_sequence,
 }
 
 
@@ -253,6 +341,12 @@ def main():
 
     enable_compile_cache()
     results = {"device": str(jax.devices()[0])}
+    if args.only and Path(args.out).exists():
+        # --only runs MERGE into the existing file, so configs can be
+        # refreshed one bounded process at a time (remote-TPU runs must
+        # stay under external timeouts — see CLAUDE.md)
+        with open(args.out) as f:
+            results = {**json.load(f), "device": results["device"]}
     for name, fn in BENCHES.items():
         if args.only and name != args.only:
             continue

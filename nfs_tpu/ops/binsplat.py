@@ -102,12 +102,13 @@ def max_bin_count(p: jax.Array, shape: Sequence[int]) -> jax.Array:
 
 
 def bucket_k(k: int, cap: int = 4096) -> int:
-    """Round K up to a power of two (bounded recompile variants)."""
+    """Round K up to the next even number (1 and 2 stay as-is; variants
+    stay bounded for the jit cache while avoiding pow2's up-to-2x dense
+    overwork — every K row is a full (cells,) window pass)."""
     k = max(int(k), 1)
-    b = 1
-    while b < k:
-        b *= 2
-    return min(b, cap)
+    if k <= 2:
+        return k
+    return min(k + (k % 2), cap)
 
 
 @partial(jax.jit, static_argnames=("shape", "K"))

@@ -328,8 +328,12 @@ class ParticleStyler:
         kmaxes = np.asarray(counts(p, tuple(tuple(s) for s in shapes)))
         ks = []
         for kmax, shape in zip(kmaxes, shapes):
-            # pow2 bucket; x1.5 headroom for drift-induced crowding
-            K = bucket_k(int(int(kmax) * 1.5) + 1)
+            # +1 headroom: within-chunk drift is <= ~lr*rebin_every cells
+            # (<< 1), so crowding beyond the binned max is rare and the
+            # parking region keeps any overflow exact (skipped until the
+            # next rebin). Every extra K row is a full dense window pass,
+            # so headroom is paid on every iteration.
+            K = bucket_k(int(kmax) + 1)
             n_slots = int(np.prod(padded_shape(shape))) * K
             ks.append(K if n_slots <= pc.max_bin_slots else None)
         return ks
