@@ -163,6 +163,8 @@ def config_from_args(args) -> StyleConfig:
 
 
 def main(argv=None):
+    # NFS_TPU_PLATFORM=cpu runs the CLI hermetically on CPU — applied
+    # inside enable_compile_cache, before the backend is locked
     from nfs_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()

@@ -104,6 +104,17 @@ def enable_compile_cache(path: str = "/tmp/nfs_tpu_jax_cache",
     """
     import os
 
+    if os.environ.get("NFS_TPU_PLATFORM"):
+        # explicit platform override, honored BEFORE the backend probe
+        # below locks the platform. A plain JAX_PLATFORMS env var is NOT
+        # sufficient in environments whose interpreter-startup site hook
+        # force-selects a platform (e.g. the remote-TPU relay here) —
+        # tests/CI set NFS_TPU_PLATFORM=cpu to run CLIs hermetically.
+        try:
+            jax.config.update("jax_platforms",
+                              os.environ["NFS_TPU_PLATFORM"])
+        except Exception:
+            pass
     path = f"{path}_{jax.default_backend()}"
     os.makedirs(path, exist_ok=True)
     try:

@@ -43,7 +43,17 @@ def _cli_args(data_dir, log_dir, tag, num_frames, extra=()):
 
 def _env():
     env = dict(os.environ)
+    # NFS_TPU_PLATFORM is honored by the CLI via jax.config BEFORE any
+    # backend probe — a plain JAX_PLATFORMS=cpu env var is NOT enough in
+    # environments whose site hook force-selects a remote TPU platform
+    # (this test once hammered + wedged the real TPU through exactly
+    # that: the killed subprocess was a live TPU client)
+    env["NFS_TPU_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
+    # drop conftest's 8-virtual-device XLA_FLAGS: the CLI subprocesses
+    # need one CPU device (8 fake devices split the thread pool and make
+    # each run ~5x slower, tripping the subprocess timeout)
+    env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
