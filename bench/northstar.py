@@ -58,16 +58,20 @@ def main():
     #    disk so repeat benchmark runs skip it.
     import os
 
+    from nfs_tpu.io.stream import (iter_sequence_blocks,
+                                   load_sequence_cache,
+                                   sequence_cache_complete)
     from nfs_tpu.sim.smoke import smoke_sequence_cached
 
-    cache = f"/tmp/northstar_{args.frames}.npz"
+    # chunk-DIRECTORY cache (nfs_tpu.io.stream): block reads overlap the
+    # device's async compute — this disk reads at ~15-40 MB/s, so a
+    # monolithic multi-GB npz load stalled the old pipeline for minutes
+    cache = f"/tmp/northstar_{args.frames}"
+    legacy = cache + ".npz"
+    if os.path.exists(legacy):
+        cache = legacy
     t0 = time.time()
-    if os.path.exists(cache):
-        with np.load(cache) as z:
-            ds, vs = z["d"], z["v"]
-        t_sim = time.time() - t0
-        print(f"sim: loaded cache in {t_sim:.1f}s", flush=True)
-    else:
+    if not sequence_cache_complete(cache):
         # resumable chunked generation: the 3D solver compile alone is
         # O(minutes) on the remote TPU; progress survives a time-boxed
         # process (re-invoke --sim_only until it reports complete)
@@ -81,9 +85,8 @@ def main():
             print(f"sim: budget hit after {t_sim:.1f}s — partial progress "
                   f"saved, re-run to continue", flush=True)
             return
-        with np.load(cache) as z:
-            ds, vs = z["d"], z["v"]
         print(f"sim: {args.frames} frames in {t_sim:.1f}s", flush=True)
+    t_sim = time.time() - t0
     if args.sim_only:
         return
 
@@ -109,7 +112,17 @@ def main():
     t0 = time.time()
     n_done = 0
     t_first = None
-    for t, d_star, _ in styler.stylize_sequence(ds, vs):
+    if args.fused > 1:
+        # block-streamed: per-chunk disk reads + uploads overlap compute
+        gen = styler.stylize_sequence_blocks(
+            iter_sequence_blocks(cache, args.window,
+                                 n_frames=args.frames),
+            fused=args.fused)
+    else:
+        ds, vs = load_sequence_cache(cache)
+        ds, vs = ds[:args.frames], vs[:args.frames]
+        gen = styler.stylize_sequence(ds, vs)
+    for t, d_star, _ in gen:
         n_done += 1
         if n_done == first_unit:
             np.asarray(d_star)

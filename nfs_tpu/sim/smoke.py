@@ -220,22 +220,31 @@ def smoke_sequence_cached(cfg: SmokeConfig, n_frames: int,
     3D solver compiles are O(minutes) on a remote TPU and long runs may
     be time-boxed by the environment).
 
-    Returns True when ``cache_path`` holds the complete (d, v) arrays;
-    False when the time budget ran out mid-way (re-invoke to continue —
-    the result is bit-identical to an uninterrupted run since chunks are
+    Returns True when ``cache_path`` holds the complete sequence; False
+    when the time budget ran out mid-way (re-invoke to continue — the
+    result is bit-identical to an uninterrupted run since chunks are
     deterministic given the carried state).
+
+    A ``cache_path`` ending in ``.npz`` finalizes to one monolithic file
+    (legacy); any other path finalizes AS the chunk directory consumed
+    by ``nfs_tpu.io.stream`` (no concatenation pass — block reads then
+    overlap device compute instead of a multi-GB stall on slow disks).
     """
     import glob
     import os
     import shutil
     import time
 
+    from nfs_tpu.io.stream import (finalize_sequence_dir,
+                                   sequence_cache_complete)
+
     t0 = time.time()
-    part_dir = cache_path + ".part"
+    as_dir = not cache_path.endswith(".npz")
+    part_dir = cache_path if as_dir else cache_path + ".part"
     state_path = os.path.join(part_dir, "state.npz")
     solver = SmokeSolver(cfg)
     nd = len(cfg.shape)
-    if os.path.exists(cache_path):
+    if sequence_cache_complete(cache_path):
         return True
     os.makedirs(part_dir, exist_ok=True)
     if os.path.exists(state_path):
@@ -284,7 +293,11 @@ def smoke_sequence_cached(cfg: SmokeConfig, n_frames: int,
         if budget_s is not None and time.time() - t0 > budget_s:
             if done < n_frames:
                 return False
-    # finalize: concatenate chunk files -> one npz
+    if as_dir:
+        os.unlink(state_path)
+        finalize_sequence_dir(part_dir, n_frames, chunk)
+        return True
+    # legacy: concatenate chunk files -> one npz
     chunks = sorted(glob.glob(os.path.join(part_dir, "chunk_*.npz")))
     ds = np.concatenate([np.load(c)["d"] for c in chunks])[:n_frames]
     vs = np.concatenate([np.load(c)["v"] for c in chunks])[:n_frames]

@@ -51,6 +51,25 @@ from nfs_tpu.styler.octave import run_octave
 
 
 @partial(jax.jit, static_argnames=("step_fn",), donate_argnums=(0,))
+def _seq_chunk_block(param, t_glob, t_loc, keys, dens, vels, data,
+                     step_fn):
+    """Block-streamed variant of :func:`_seq_chunk`: dens covers only a
+    block of the sequence (indexed by t_loc) and vels is the block's
+    velocity CONTEXT, pre-padded with the window halo on both sides —
+    so whole sequences never need to be device-resident and host IO of
+    block k+1 overlaps the device compute of block k (dispatches are
+    async)."""
+    def body(p, xs):
+        tg, tl, key = xs
+        p, d_star, losses = step_fn(p, tg, tl, key, dens, vels, data)
+        return p, (d_star, losses)
+
+    param, (d_stars, losses) = jax.lax.scan(body, param,
+                                            (t_glob, t_loc, keys))
+    return param, d_stars, losses
+
+
+@partial(jax.jit, static_argnames=("step_fn",), donate_argnums=(0,))
 def _seq_chunk(param, t_idx, keys, dens, vels, data, step_fn):
     """Scan `step_fn` (one frame's FULL multi-octave optimization) over a
     chunk of frames in a single device dispatch — the whole-sequence
@@ -169,6 +188,50 @@ class GridStyler:
                           max_disp=self.cfg.optim.param_max_disp)
         return d_base + opt_var
 
+    def _image_loss_weighted(self, imgs: jax.Array, pos_weights,
+                             data) -> jax.Array:
+        """Window-batched image loss: imgs (P, V, H, W, 3) holds every
+        window position's views, pushed through VGG in ONE batched call
+        (P*V images) instead of P sequential render->VGG passes — bigger
+        conv batches for the MXU and one fused backward. Returns
+        sum_p pos_weights[p] * image_loss(imgs[p]) exactly (Gram MSEs are
+        computed per image, then averaged per position)."""
+        lc = self.cfg.loss
+        P, V = imgs.shape[0], imgs.shape[1]
+        flat = imgs.reshape((P * V,) + imgs.shape[2:])
+        layers = set()
+        if data["targets"] is not None:
+            layers |= set(lc.style_layers)
+        if lc.content_layer:
+            layers.add(lc.content_layer)
+        dtype = jnp.bfloat16 if lc.features_dtype == "bfloat16" else None
+        feats = vgg_features(data["vgg"], flat, tuple(sorted(layers)),
+                             pool=lc.pool, dtype=dtype)
+        pos_weights = jnp.asarray(pos_weights, jnp.float32)
+        total = jnp.float32(0.0)
+        if data["targets"] is not None and lc.w_style:
+            from nfs_tpu.features.losses import gram_matrix
+
+            for layer, lw in zip(lc.style_layers, lc.style_layer_weights):
+                g = gram_matrix(feats[layer])                  # (P*V,C,C)
+                gt = data["targets"][layer].astype(jnp.float32)
+                mse = jnp.mean((g - gt) ** 2, axis=(-2, -1))   # (P*V,)
+                per_pos = jnp.mean(mse.reshape(P, V), axis=1)
+                total += lc.w_style * lw * jnp.sum(pos_weights * per_pos)
+        if lc.content_layer and lc.w_content:
+            f = feats[lc.content_layer].astype(jnp.float32)
+            if data["content"] is not None:
+                ft = data["content"][lc.content_layer].astype(jnp.float32)
+                mse = jnp.mean((f - ft) ** 2,
+                               axis=tuple(range(1, f.ndim)))
+            else:
+                ch = (f if lc.content_channel is None
+                      else f[..., lc.content_channel])
+                mse = -jnp.mean(ch, axis=tuple(range(1, ch.ndim)))
+            per_pos = jnp.mean(mse.reshape(P, V), axis=1)
+            total += lc.w_content * jnp.sum(pos_weights * per_pos)
+        return total
+
     def _image_loss(self, imgs: jax.Array, data) -> jax.Array:
         lc = self.cfg.loss
         layers = set()
@@ -230,21 +293,33 @@ class GridStyler:
             else:
                 vels = data["vels"]
                 keys = jax.random.split(key, 2 * window + 1)
-                total = weights[window] * self._render_loss(
-                    d_star, keys[window], pool, render_size, data)
-                # forward transport through sim velocities (TNST §6)
+                # all 2W+1 window states (TNST §6: center + forward
+                # transport through sim velocities + backward inverse)
                 md = cfg.optim.max_disp
+                states = [None] * (2 * window + 1)
+                states[window] = d_star
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, vels[window + j - 1], max_disp=md)
-                    total += weights[window + j] * self._render_loss(
-                        d_j, keys[window + j], pool, render_size, data)
-                # backward transport (inverse advection approximation)
+                    states[window + j] = d_j
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, -vels[window - j], max_disp=md)
-                    total += weights[window - j] * self._render_loss(
-                        d_j, keys[window - j], pool, render_size, data)
+                    states[window - j] = d_j
+                if cfg.loss.remat_views and d_star.ndim == 3:
+                    # memory-bound regime: keep the sequential per-view
+                    # remat path
+                    total = jnp.float32(0.0)
+                    for p, s in enumerate(states):
+                        total += weights[p] * self._render_loss(
+                            s, keys[p], pool, render_size, data)
+                else:
+                    # batched: every position's views through VGG in one
+                    # call ((2W+1)*V conv batch on the MXU)
+                    imgs = jnp.stack([
+                        self._render(s, keys[p], pool, render_size)
+                        for p, s in enumerate(states)])
+                    total = self._image_loss_weighted(imgs, weights, data)
             if cfg.loss.w_tv:
                 total += cfg.loss.w_tv * tv_loss(opt_var, ndim=ndim)
             return total
@@ -274,25 +349,12 @@ class GridStyler:
                               self._octave_render_size(s, full_shape))
             for s in shapes]
 
-        def step_fn(param, t, key, dens, vels, data):
-            d_full = dens[t]
-            if vels is not None:
-                # recursive init (TNST §6): transport the previous frame's
-                # stylization forward. At t=0 param is zeros, so the
-                # clamped vels[-1 -> 0] advection is a no-op by value.
-                param_t = advect(param, vels[jnp.maximum(t - 1, 0)],
-                                 max_disp=oc.max_disp)
-            else:
-                param_t = param
-            vels_win = None
-            if window and vels is not None:
-                W = window
-                T = vels.shape[0]
-                idx = jnp.concatenate([
-                    jnp.maximum(t - W + jnp.arange(W), 0),
-                    jnp.minimum(t + jnp.arange(W), T - 1)])
-                vels_win = jnp.take(vels, idx, axis=0)  # (2W, *sp, nd)
-
+        def octave_sweep(param_t, d_full, vels_win, key, data):
+            """Complete coarse-to-fine optimization of one frame. `data`
+            is the TRACED constants dict (pool/vgg/targets/content) —
+            threaded as arguments, never closed over, so executables stay
+            constant-free and the jit cache hits across stylers
+            (CLAUDE.md closure-identity rule)."""
             p = param_t
             losses_all = []
             for o, shape in enumerate(shapes):
@@ -325,6 +387,58 @@ class GridStyler:
             p = self._resize_param(p, full_shape)
             d_star = jnp.maximum(self._apply_param(p, d_full), 0.0)
             return p, d_star, jnp.stack(losses_all)  # (octave_n, iters)
+
+        def step_fn(param, t, key, dens, vels, data):
+            d_full = dens[t]
+            if vels is not None:
+                # recursive init (TNST §6): transport the previous frame's
+                # stylization forward. At t=0 param is zeros, so the
+                # clamped vels[-1 -> 0] advection is a no-op by value.
+                param_t = advect(param, vels[jnp.maximum(t - 1, 0)],
+                                 max_disp=oc.max_disp)
+            else:
+                param_t = param
+            vels_win = None
+            if window and vels is not None:
+                W = window
+                T = vels.shape[0]
+                idx = jnp.concatenate([
+                    jnp.maximum(t - W + jnp.arange(W), 0),
+                    jnp.minimum(t + jnp.arange(W), T - 1)])
+                vels_win = jnp.take(vels, idx, axis=0)  # (2W, *sp, nd)
+            return octave_sweep(param_t, d_full, vels_win, key, data)
+
+        step_fn.octave_sweep = octave_sweep
+        self._loss_cache[sig] = step_fn
+        return step_fn
+
+    def _get_seq_step_block(self, full_shape: Tuple[int, ...],
+                            window: int):
+        """Block-streamed per-frame step: dens holds one BLOCK of frames
+        (indexed t_loc) and vels the block's velocity context, pre-padded
+        with P = max(window, 1) halo frames on each side (edge frames
+        replicated at the true sequence boundaries — matching the
+        clamped indexing of the full-sequence step)."""
+        sig = ("seq_block", tuple(full_shape), window)
+        if sig in self._loss_cache:
+            return self._loss_cache[sig]
+        oc = self.cfg.optim
+        P = max(window, 1)
+        octave_sweep = self._get_seq_step(full_shape, window).octave_sweep
+
+        def step_fn(param, t_glob, t_loc, key, dens, vels, data):
+            d_full = dens[t_loc]
+            if vels is not None:
+                param_t = advect(param, vels[P + t_loc - 1],
+                                 max_disp=oc.max_disp)
+            else:
+                param_t = param
+            vels_win = None
+            if window and vels is not None:
+                vels_win = jax.lax.dynamic_slice_in_dim(
+                    vels, t_loc + P - window, 2 * window, axis=0)
+            del t_glob  # keys are pre-folded by absolute frame index
+            return octave_sweep(param_t, d_full, vels_win, key, data)
 
         self._loss_cache[sig] = step_fn
         return step_fn
@@ -536,6 +650,59 @@ class GridStyler:
                 key=sub, callback=callback,
                 checkpoint_path=checkpoint_path)
             yield t, d_star, param
+
+    def stylize_sequence_blocks(self, blocks, key=None, fused: int = 8):
+        """Block-STREAMED fused sequence stylization: frames arrive in
+        host-memory blocks (e.g. read from per-chunk cache files), device
+        memory holds only one block + working set, and because fused
+        dispatches are async, host IO for block k+1 overlaps the device
+        compute of block k. The PRNG stream (fold_in by absolute frame
+        index) and the recursive-init carry match the non-blocked paths.
+
+        Args:
+          blocks: iterable of (t0, dens_block (B, *sp), vels_ctx) where
+            vels_ctx is None (no temporal coupling) or a
+            (B + 2P, *sp, nd) velocity CONTEXT covering global frames
+            [t0 - P, t0 + B + P) with P = max(window, 1), edge frames
+            replicated at the true sequence boundaries (see
+            nfs_tpu.io.stream.iter_sequence_blocks).
+          fused: frames per device dispatch within a block.
+
+        Yields (t, d_star, param): param is the carry after each block's
+        last frame (None mid-block), usable for checkpointed restarts.
+        """
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        param = None
+        step_fn = None
+        for t0, dens_block, vels_ctx in blocks:
+            dens_block = jnp.asarray(dens_block, jnp.float32)
+            if vels_ctx is not None:
+                vels_ctx = jnp.asarray(vels_ctx, jnp.float32)
+            full_shape = tuple(dens_block.shape[1:])
+            window = cfg.optim.window if vels_ctx is not None else 0
+            if param is None:
+                param = self.init_param(full_shape)
+            if step_fn is None:
+                step_fn = self._get_seq_step_block(full_shape, window)
+            data = {"pool": self.view_pool, "vgg": self.vgg_params,
+                    "targets": self.gram_targets,
+                    "content": self.content_feats}
+            B = dens_block.shape[0]
+            for c0 in range(0, B, fused):
+                n = min(fused, B - c0)
+                t_glob = jnp.arange(t0 + c0, t0 + c0 + n, dtype=jnp.int32)
+                t_loc = jnp.arange(c0, c0 + n, dtype=jnp.int32)
+                keys = jnp.stack([jax.random.fold_in(key, int(t))
+                                  for t in range(t0 + c0, t0 + c0 + n)])
+                param, d_stars, _ = _seq_chunk_block(
+                    param, t_glob, t_loc, keys, dens_block, vels_ctx,
+                    data, step_fn=step_fn)
+                last_in_block = c0 + n == B
+                for i in range(n):
+                    yield (t0 + c0 + i, d_stars[i],
+                           param if (last_in_block and i == n - 1)
+                           else None)
 
     def _stylize_sequence_fused(self, densities, velocities, key,
                                 fused: int):
