@@ -77,19 +77,24 @@ class ParallelSequenceStyler:
                 total = styler._image_loss(render_imgs(d_star, views_i),
                                            aux)
             else:
-                total = weights[window] * styler._image_loss(
-                    render_imgs(d_star, views_i), aux)
+                # all 2W+1 transported states, then ONE batched VGG call
+                # with per-position Gram weighting (same trick as the
+                # single-device window loss — bitwise-equal total, bigger
+                # MXU conv batches)
                 md = cfg.optim.max_disp
+                states = [None] * (2 * window + 1)
+                states[window] = d_star
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, vels_w[window + j - 1], max_disp=md)
-                    total += weights[window + j] * styler._image_loss(
-                        render_imgs(d_j, views_i), aux)
+                    states[window + j] = d_j
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, -vels_w[window - j], max_disp=md)
-                    total += weights[window - j] * styler._image_loss(
-                        render_imgs(d_j, views_i), aux)
+                    states[window - j] = d_j
+                imgs = jnp.stack([render_imgs(s, views_i)
+                                  for s in states])
+                total = styler._image_loss_weighted(imgs, weights, aux)
             if cfg.loss.w_tv:
                 from nfs_tpu.features.losses import tv_loss
                 total += cfg.loss.w_tv * tv_loss(param, ndim=ndim)
