@@ -295,3 +295,52 @@ class TestRematViews:
         losses = info["octave_losses"][-1]
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestBatchedWindowLoss:
+    """The batched window loss (one VGG call over all 2W+1 positions'
+    views) must equal the sequential remat path for every objective."""
+
+    def _pair(self, extra, content=False):
+        base = {"render.render_size": (48, 48), "render.n_views": 2,
+                "render.transmit": 0.05, "optim.octave_n": 1,
+                "optim.window": 1}
+        base.update(extra)
+        kw = {"style_image": style_img()}
+        if content:
+            kw["content_image"] = np.random.default_rng(1).random(
+                (48, 48, 3)).astype(np.float32)
+        import jax.numpy as jnp
+        sb = GridStyler(tiny_cfg(**base), **kw)
+        ss = GridStyler(tiny_cfg(**dict(base,
+                                        **{"loss.remat_views": True})),
+                        **kw)
+        g = np.meshgrid(*[np.linspace(-1, 1, s) for s in (16, 12, 16)],
+                        indexing="ij")
+        d = jnp.asarray(np.exp(-4 * sum(x ** 2 for x in g)), jnp.float32)
+        vels = jnp.full((2, 16, 12, 16, 3), 0.3, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        z = jnp.zeros((16, 12, 16))
+
+        def ev(st):
+            data = {"d": d, "pool": st.view_pool, "vgg": st.vgg_params,
+                    "targets": st.gram_targets, "content": st.content_feats,
+                    "vels": vels}
+            return float(st._get_loss_fn(3, 1)(z, key, data))
+
+        return ev(sb), ev(ss)
+
+    def test_style_parity(self):
+        b, s = self._pair({})
+        assert abs(b - s) <= 1e-6 * max(abs(s), 1e-9)
+
+    def test_content_parity(self):
+        b, s = self._pair({"loss.content_layer": "relu2_1",
+                           "loss.w_content": 0.5}, content=True)
+        assert abs(b - s) <= 1e-5 * max(abs(s), 1e-9)
+
+    def test_semantic_parity(self):
+        b, s = self._pair({"loss.content_layer": "relu2_1",
+                           "loss.w_content": 0.5,
+                           "loss.content_channel": 3})
+        assert abs(b - s) <= 1e-5 * max(abs(s), 1e-9)
