@@ -134,6 +134,21 @@ def main():
                   flush=True)
     np.asarray(d_star)
     wall = time.time() - t0
+
+    # analytic MFU for the windowed sequence step (frozen-VGG 2x fwd;
+    # 1 + 2*window rendered positions per iteration)
+    from nfs_tpu.ops.resize import octave_shapes
+    from nfs_tpu.utils.flops import (TPU_V5E_PEAK_BF16, mfu,
+                                     styler_step_flops)
+    shape = (112, 64, 112)
+    frame_flops = 0.0
+    for oshape in octave_shapes(shape, cfg.optim.octave_n,
+                                cfg.optim.octave_scale):
+        rsize = styler._octave_render_size(oshape, shape)
+        frame_flops += args.iters * styler_step_flops(
+            oshape, rsize, cfg.render.n_views, cfg.loss.style_layers,
+            n_window_renders=1 + 2 * args.window)
+    achieved = frame_flops * args.frames / wall
     result = {
         "metric": "200frame_112x64x112_sequence_end_to_end_s",
         "value": round(wall, 1),
@@ -145,6 +160,8 @@ def main():
         "s_per_frame_steady": round(
             (wall - t_first) / max(n_done - first_unit, 1), 3),
         "sim_gen_s": round(t_sim, 1),
+        "achieved_tflops_per_s": round(achieved / 1e12, 2),
+        "mfu_vs_v5e_bf16_peak": round(mfu(achieved, TPU_V5E_PEAK_BF16), 4),
         "north_star_target_s": 600,
         "beats_target_single_chip": wall < 600,
         "device": str(jax.devices()[0]),
