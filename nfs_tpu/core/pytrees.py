@@ -20,7 +20,7 @@ dataclass pytrees for self-description.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 

@@ -14,7 +14,7 @@ quality.py` drives them end-to-end and writes a JSON scorecard.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -46,7 +46,12 @@ def finalize_sequence_dir(part_dir: str, n_frames: int, chunk: int
 
 
 def _chunk_paths(cache_dir: str):
-    return sorted(glob.glob(os.path.join(cache_dir, "chunk_*.npz")))
+    import re
+
+    # digits only: never pick up tmp/garbage files from interrupted runs
+    pat = re.compile(r"chunk_\d+\.npz$")
+    return sorted(p for p in glob.glob(
+        os.path.join(cache_dir, "chunk_*.npz")) if pat.search(p))
 
 
 def load_sequence_cache(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -281,7 +281,9 @@ def smoke_sequence_cached(cfg: SmokeConfig, n_frames: int,
         take = min(chunk, n_frames - done)
         # append-only chunk files + tiny carry state: O(chunk) IO per
         # chunk (re-writing the full accumulation each chunk was O(T^2))
-        tmp = os.path.join(part_dir, "chunk_tmp.npz")
+        # NOTE: tmp name must NOT match the chunk_*.npz glob — a stale
+        # tmp from a killed run would otherwise be read back as data
+        tmp = os.path.join(part_dir, "tmp_chunk.npz")
         np.savez(tmp, d=np.asarray(ds[:take]), v=np.asarray(vs[:take]))
         os.replace(tmp, os.path.join(part_dir, f"chunk_{done:05d}.npz"))
         done += take
