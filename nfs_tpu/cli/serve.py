@@ -1,0 +1,225 @@
+"""Persistent stylization service (production serving; ROADMAP #7).
+
+A long-lived worker process that polls a spool directory for job files
+and runs them through CACHED styler instances — the expensive parts
+(backend init, VGG/Gram setup, XLA compiles) are paid once per config
+signature and amortized over every subsequent job, instead of per
+invocation like the one-shot CLI. On a remote-TPU deployment this hides
+the multi-second fixed costs (tunnel init, compile, style-target upload)
+that dominate short jobs.
+
+Protocol (filesystem spool — works over any shared mount, no broker):
+
+  <spool>/inbox/<job>.json     submitted by clients, atomic rename
+  <spool>/work/<job>.json      claimed by the worker (rename = lock)
+  <spool>/done/<job>.json      result manifest (status, outputs, timing)
+  <spool>/stop                 graceful shutdown marker
+
+Job JSON:
+  {"mode": "grid" | "particle",
+   "data_dir": ..., "d_path": ..., "v_path": ..., "p_path": ...,
+   "frames": [0, 1, ...],            # or {"start": 0, "count": N}
+   "out_dir": ...,
+   "config": {"optim.iters": 30, ...},   # StyleConfig overrides
+   "style_target": "path.png",
+   "grid_shape": [128, 128]}            # particle mode
+
+Run:  python -m nfs_tpu.cli.serve --spool /path/to/spool
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import traceback
+from typing import Dict, Tuple
+
+
+def _ensure_dirs(spool: str):
+    for sub in ("inbox", "work", "done"):
+        os.makedirs(os.path.join(spool, sub), exist_ok=True)
+
+
+def submit_job(spool: str, job: dict, name: str = None) -> str:
+    """Client helper: atomically drop a job into the spool inbox."""
+    _ensure_dirs(spool)
+    name = name or f"job_{int(time.time() * 1000)}_{os.getpid()}"
+    tmp = os.path.join(spool, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(job, f)
+    dst = os.path.join(spool, "inbox", f"{name}.json")
+    os.replace(tmp, dst)
+    return name
+
+
+def _config_from_job(job: dict):
+    from nfs_tpu.core.config import StyleConfig, replace
+
+    over = dict(job.get("config", {}))
+    if job.get("style_target"):
+        over["loss.style_target"] = job["style_target"]
+    return replace(StyleConfig(), **over)
+
+
+def _job_frames(job: dict):
+    fr = job.get("frames", [0])
+    if isinstance(fr, dict):
+        return list(range(fr.get("start", 0),
+                          fr.get("start", 0) + fr.get("count", 1)))
+    return list(fr)
+
+
+class StylizeWorker:
+    """Caches one styler per (mode, config, grid_shape) signature; the
+    jit cache inside each styler then makes repeat jobs compile-free."""
+
+    def __init__(self):
+        self._stylers: Dict[Tuple, object] = {}
+        self.stats = {"jobs": 0, "frames": 0, "styler_cache_hits": 0}
+
+    def _styler(self, job: dict):
+        mode = job.get("mode", "grid")
+        cfg = _config_from_job(job)
+        grid_shape = tuple(job.get("grid_shape", ())) or None
+        sig = (mode, cfg, grid_shape)
+        if sig in self._stylers:
+            self.stats["styler_cache_hits"] += 1
+            return self._stylers[sig]
+        if mode == "particle":
+            from nfs_tpu.styler.particle import ParticleStyler
+
+            styler = ParticleStyler(cfg, grid_shape=grid_shape)
+        else:
+            from nfs_tpu.styler.grid import GridStyler
+
+            styler = GridStyler(cfg)
+        self._stylers[sig] = styler
+        return styler
+
+    def run_job(self, job: dict) -> dict:
+        import numpy as np
+        import jax.numpy as jnp
+
+        from nfs_tpu.io.npz import FrameStore
+
+        t0 = time.time()
+        cfg = _config_from_job(job)
+        frames = _job_frames(job)
+        out_dir = job["out_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        store = FrameStore(job["data_dir"],
+                           job.get("d_path", "d_%04d.npz"),
+                           job.get("v_path", "v_%04d.npz"),
+                           job.get("p_path", "p_%04d.npz"))
+        out_store = FrameStore(out_dir)
+        styler = self._styler(job)
+        outputs = []
+
+        if job.get("mode", "grid") == "particle":
+            from nfs_tpu.core.pytrees import ParticleSet
+
+            psets = []
+            for t in frames:
+                raw = store.load_particles(t)
+                psets.append(ParticleSet(
+                    x=jnp.asarray(raw["x"]),
+                    dens=(jnp.asarray(raw["dens"])
+                          if "dens" in raw else None)))
+            for i, styled in styler.stylize_keyframes(psets):
+                t = frames[i]
+                out_store.save_particles(
+                    t, x=np.asarray(styled.x),
+                    dens=np.asarray(styled.dens))
+                outputs.append(f"p_{t:04d}.npz")
+        else:
+            densities = [store.load_density(t) for t in frames]
+            vels = None
+            if os.path.exists(os.path.join(
+                    job["data_dir"],
+                    job.get("v_path", "v_%04d.npz") % frames[0])):
+                vels = [store.load_velocity(t) for t in frames]
+            if len(frames) == 1 and cfg.optim.window == 0:
+                d_star, _, _ = styler.stylize_frame(densities[0])
+                out_store.save_density(frames[0], np.asarray(d_star))
+                outputs.append(f"d_{frames[0]:04d}.npz")
+            else:
+                for i, d_star, _ in styler.stylize_sequence(
+                        densities, vels):
+                    t = frames[i]
+                    out_store.save_density(t, np.asarray(d_star))
+                    outputs.append(f"d_{t:04d}.npz")
+
+        self.stats["jobs"] += 1
+        self.stats["frames"] += len(frames)
+        return {"status": "ok", "outputs": outputs,
+                "frames": len(frames),
+                "wall_s": round(time.time() - t0, 3)}
+
+
+def serve(spool: str, poll_s: float = 0.5, max_jobs: int = None,
+          idle_timeout_s: float = None) -> dict:
+    """Worker loop: claim inbox jobs by rename, run, write result
+    manifests. Returns worker stats on shutdown (stop file, max_jobs, or
+    idle timeout)."""
+    _ensure_dirs(spool)
+    worker = StylizeWorker()
+    stop_marker = os.path.join(spool, "stop")
+    last_work = time.time()
+    while True:
+        if os.path.exists(stop_marker):
+            break
+        if max_jobs is not None and worker.stats["jobs"] >= max_jobs:
+            break
+        if (idle_timeout_s is not None
+                and time.time() - last_work > idle_timeout_s):
+            break
+        pending = sorted(os.listdir(os.path.join(spool, "inbox")))
+        if not pending:
+            time.sleep(poll_s)
+            continue
+        name = pending[0]
+        src = os.path.join(spool, "inbox", name)
+        claimed = os.path.join(spool, "work", name)
+        try:
+            os.rename(src, claimed)  # atomic claim (multi-worker safe)
+        except OSError:
+            continue  # another worker got it
+        with open(claimed) as f:
+            job = json.load(f)
+        try:
+            result = worker.run_job(job)
+        except Exception as e:  # job fails, worker survives
+            result = {"status": "error",
+                      "error": f"{type(e).__name__}: {e}",
+                      "traceback": traceback.format_exc()}
+        result["job"] = job
+        done = os.path.join(spool, "done", name)
+        with open(done + ".tmp", "w") as f:
+            json.dump(result, f)
+        os.replace(done + ".tmp", done)
+        os.unlink(claimed)
+        last_work = time.time()
+        print(f"[serve] {name}: {result['status']} "
+              f"({result.get('wall_s', '-')}s)", flush=True)
+    return worker.stats
+
+
+def main(argv=None):
+    from nfs_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    p = argparse.ArgumentParser(description="stylization service worker")
+    p.add_argument("--spool", required=True)
+    p.add_argument("--poll", type=float, default=0.5)
+    p.add_argument("--max_jobs", type=int, default=None)
+    p.add_argument("--idle_timeout", type=float, default=None)
+    args = p.parse_args(argv)
+    stats = serve(args.spool, poll_s=args.poll, max_jobs=args.max_jobs,
+                  idle_timeout_s=args.idle_timeout)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

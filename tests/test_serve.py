@@ -1,0 +1,97 @@
+"""Stylization service tests (nfs_tpu/cli/serve.py): spool protocol,
+styler caching across jobs, error isolation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nfs_tpu.cli.serve import StylizeWorker, serve, submit_job
+
+
+def _make_data(data_dir, T=2, shape=(16, 12)):
+    os.makedirs(data_dir, exist_ok=True)
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    d0 = np.exp(-4 * sum(x ** 2 for x in g)).astype(np.float32)
+    for t in range(T):
+        np.savez(os.path.join(data_dir, f"d_{t:04d}.npz"),
+                 d=d0 * (1 + 0.1 * t))
+
+
+def _style_png(path):
+    from nfs_tpu.io.image import save_image
+    rng = np.random.default_rng(0)
+    save_image(path, rng.random((32, 32, 3)).astype(np.float32))
+
+
+def _job(data_dir, out_dir, style, frames=(0,)):
+    return {
+        "mode": "grid",
+        "data_dir": data_dir,
+        "out_dir": out_dir,
+        "frames": list(frames),
+        "style_target": style,
+        "config": {
+            "render.render_size": (32, 32),
+            "render.n_views": 2,
+            "optim.octave_n": 1,
+            "optim.iters": 2,
+        },
+    }
+
+
+class TestServe:
+    def test_jobs_run_and_styler_cached(self, tmp_path):
+        data = str(tmp_path / "data")
+        spool = str(tmp_path / "spool")
+        style = str(tmp_path / "style.png")
+        _make_data(data)
+        _style_png(style)
+
+        submit_job(spool, _job(data, str(tmp_path / "out1"), style,
+                               frames=(0,)), name="a")
+        submit_job(spool, _job(data, str(tmp_path / "out2"), style,
+                               frames=(1,)), name="b")
+        stats = serve(spool, poll_s=0.01, max_jobs=2)
+        assert stats["jobs"] == 2
+        assert stats["frames"] == 2
+        # second job reused the first job's compiled styler
+        assert stats["styler_cache_hits"] == 1
+        for name, out in [("a", "out1"), ("b", "out2")]:
+            with open(os.path.join(spool, "done", f"{name}.json")) as f:
+                res = json.load(f)
+            assert res["status"] == "ok", res
+            t = res["job"]["frames"][0]
+            path = os.path.join(str(tmp_path / out), f"d_{t:04d}.npz")
+            assert os.path.exists(path)
+            with np.load(path) as z:
+                assert np.isfinite(z["d"]).all()
+        # spool drained
+        assert os.listdir(os.path.join(spool, "inbox")) == []
+        assert os.listdir(os.path.join(spool, "work")) == []
+
+    def test_bad_job_isolated(self, tmp_path):
+        data = str(tmp_path / "data")
+        spool = str(tmp_path / "spool")
+        style = str(tmp_path / "style.png")
+        _make_data(data)
+        _style_png(style)
+        submit_job(spool, _job("/nonexistent", str(tmp_path / "o"), style),
+                   name="bad")
+        submit_job(spool, _job(data, str(tmp_path / "o"), style),
+                   name="good")
+        stats = serve(spool, poll_s=0.01, max_jobs=1)
+        # the failing job is recorded as error; the good one still ran
+        with open(os.path.join(spool, "done", "bad.json")) as f:
+            assert json.load(f)["status"] == "error"
+        with open(os.path.join(spool, "done", "good.json")) as f:
+            assert json.load(f)["status"] == "ok"
+        assert stats["jobs"] == 1  # only successful jobs count
+
+    def test_stop_marker(self, tmp_path):
+        spool = str(tmp_path / "spool")
+        os.makedirs(spool, exist_ok=True)
+        open(os.path.join(spool, "stop"), "w").close()
+        stats = serve(spool, poll_s=0.01)
+        assert stats["jobs"] == 0
