@@ -77,7 +77,8 @@ class StylizeWorker:
 
     def __init__(self):
         self._stylers: Dict[Tuple, object] = {}
-        self.stats = {"jobs": 0, "frames": 0, "styler_cache_hits": 0}
+        self.stats = {"jobs": 0, "frames": 0, "errors": 0,
+                      "styler_cache_hits": 0}
 
     def _styler(self, job: dict):
         mode = job.get("mode", "grid")
@@ -170,7 +171,10 @@ def serve(spool: str, poll_s: float = 0.5, max_jobs: int = None,
     while True:
         if os.path.exists(stop_marker):
             break
-        if max_jobs is not None and worker.stats["jobs"] >= max_jobs:
+        # max_jobs counts PROCESSED jobs (success + error): a stream of
+        # failing jobs must still terminate the worker, not spin forever.
+        processed = worker.stats["jobs"] + worker.stats["errors"]
+        if max_jobs is not None and processed >= max_jobs:
             break
         if (idle_timeout_s is not None
                 and time.time() - last_work > idle_timeout_s):
@@ -191,6 +195,7 @@ def serve(spool: str, poll_s: float = 0.5, max_jobs: int = None,
         try:
             result = worker.run_job(job)
         except Exception as e:  # job fails, worker survives
+            worker.stats["errors"] += 1
             result = {"status": "error",
                       "error": f"{type(e).__name__}: {e}",
                       "traceback": traceback.format_exc()}

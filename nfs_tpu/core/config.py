@@ -209,9 +209,19 @@ class StyleConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _tuplify(v):
+    """Lists arriving from JSON/YAML become tuples so frozen configs stay
+    hashable (jit-static). Recursive: [[32, 32], [1.0]] -> ((32, 32), (1.0,))."""
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
 def replace(cfg, **kw):
     """dataclasses.replace that tolerates nested dotted keys, e.g.
-    ``replace(cfg, **{"optim.iters": 50})``."""
+    ``replace(cfg, **{"optim.iters": 50})``, and normalizes list values
+    to tuples (JSON has no tuples; an unhashable config breaks every
+    jit-static and cache-key use downstream)."""
     flat = {}
     nested = {}
     for k, v in kw.items():
@@ -219,7 +229,7 @@ def replace(cfg, **kw):
             head, rest = k.split(".", 1)
             nested.setdefault(head, {})[rest] = v
         else:
-            flat[k] = v
+            flat[k] = _tuplify(v)
     for head, sub in nested.items():
         flat[head] = replace(getattr(cfg, head), **sub)
     return dataclasses.replace(cfg, **flat)

@@ -56,7 +56,6 @@ class ParallelSequenceStyler:
             return self._loss_cache[sig]
         styler = self.styler
         cfg = self.cfg
-        n_views_total = cfg.render.n_views
         weights = (styler._window_weights(window) if window else None)
 
         def render_imgs(d_star, views_i):
@@ -72,15 +71,27 @@ class ParallelSequenceStyler:
                 method=cfg.render.rotation)
 
         def loss_one_frame(param, d_i, vels_w, views_i, key_i, aux):
+            # views_i: (nv_local, 3) — (theta, phi, weight). Weights carry
+            # the view-padding mask AND the 1/n_views normalization: when
+            # n_views doesn't divide the views mesh axis the pool is padded
+            # with weight-0 duplicate views, so summing the weighted
+            # per-view losses over view shards reconstructs the exact mean
+            # over the REAL views (9 views on a 2-shard axis works).
             d_star = styler._apply_param(param, d_i)
+            view_w = views_i[:, 2]
             if window == 0:
-                total = styler._image_loss(render_imgs(d_star, views_i),
-                                           aux)
+                if d_i.ndim == 3:
+                    imgs = render_imgs(d_star, views_i)     # (nv, H, W, 3)
+                    total = styler._image_loss_weighted(
+                        imgs[:, None], view_w, aux)
+                else:
+                    total = styler._image_loss(
+                        render_imgs(d_star, views_i), aux)
             else:
                 # all 2W+1 transported states, then ONE batched VGG call
-                # with per-position Gram weighting (same trick as the
-                # single-device window loss — bitwise-equal total, bigger
-                # MXU conv batches)
+                # with per-(position, view) Gram weighting (same trick as
+                # the single-device window loss — bitwise-equal total,
+                # bigger MXU conv batches)
                 md = cfg.optim.max_disp
                 states = [None] * (2 * window + 1)
                 states[window] = d_star
@@ -93,18 +104,23 @@ class ParallelSequenceStyler:
                     d_j = advect(d_j, -vels_w[window - j], max_disp=md)
                     states[window - j] = d_j
                 imgs = jnp.stack([render_imgs(s, views_i)
-                                  for s in states])
-                total = styler._image_loss_weighted(imgs, weights, aux)
+                                  for s in states])    # (P, nv, H, W, 3)
+                if d_i.ndim == 3:
+                    Pw, nv = imgs.shape[0], imgs.shape[1]
+                    pw = (weights[:, None] * view_w[None, :]).reshape(-1)
+                    total = styler._image_loss_weighted(
+                        imgs.reshape((Pw * nv, 1) + imgs.shape[2:]),
+                        pw, aux)
+                else:
+                    total = styler._image_loss_weighted(imgs, weights, aux)
             if cfg.loss.w_tv:
                 from nfs_tpu.features.losses import tv_loss
                 total += cfg.loss.w_tv * tv_loss(param, ndim=ndim)
-            # views-shard partial weighting: 3D shards render
-            # views_i.shape[0] of n_views_total views; 2D replicates the
-            # single render, so divide by the shard count — either way the
-            # views-psum reconstructs the full per-frame loss exactly.
-            if d_i.ndim == 3:
-                total = total * (views_i.shape[0] / n_views_total)
-            else:
+            # 2D replicates the single render across view shards, so
+            # divide by the shard count; 3D weighting is already exact via
+            # view_w — either way the views-psum reconstructs the full
+            # per-frame loss exactly.
+            if d_i.ndim != 3:
                 total = total / self.mesh.shape["views"]
             return total
 
@@ -119,17 +135,20 @@ class ParallelSequenceStyler:
                 callback=None):
         """Jointly stylize a (T, *spatial) sequence on the mesh.
 
-        T must be divisible by the mesh's `frames` axis. Returns
-        (d_star (T, *spatial), params, info).
+        Neither T nor n_views needs to divide the mesh axes: frames are
+        padded by replicating the last frame (clamp-at-boundary window
+        semantics are preserved; padded outputs are trimmed) and view sets
+        are padded with weight-0 duplicate views (the weighted loss is
+        exactly the mean over the real views). Returns
+        (d_star (T, *spatial), params (T, ...), info).
         """
         cfg = self.cfg
         oc = cfg.optim
         styler = self.styler
         mesh = self.mesh
         T = densities.shape[0]
-        assert T % mesh.shape["frames"] == 0, (
-            f"{T} frames not divisible by frames axis "
-            f"{mesh.shape['frames']}")
+        f_shards = mesh.shape["frames"]
+        T_pad = -(-T // f_shards) * f_shards
         spatial = densities.shape[1:]
         ndim = len(spatial)
         window = oc.window if velocities is not None else 0
@@ -137,12 +156,21 @@ class ParallelSequenceStyler:
         # 2D renders the grid directly (no view batch): carry a dummy
         # (T, v_shards, 2) views array so the views axis still shards.
         n_views = cfg.render.n_views if ndim == 3 else v_shards
-        assert n_views % v_shards == 0
+        nv_pad = -(-n_views // v_shards) * v_shards
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
 
         d_full = jnp.asarray(densities, jnp.float32)
         vels_full = (jnp.asarray(velocities, jnp.float32)
                      if velocities is not None else None)
+        if T_pad != T:
+            # replicate the last frame: its right-window velocities then
+            # match the clamp-at-boundary semantics of the unpadded path
+            reps = T_pad - T
+            d_full = jnp.concatenate(
+                [d_full, jnp.repeat(d_full[-1:], reps, axis=0)])
+            if vels_full is not None:
+                vels_full = jnp.concatenate(
+                    [vels_full, jnp.repeat(vels_full[-1:], reps, axis=0)])
 
         # device-resident poisson view pool, indexed ON DEVICE inside the
         # scanned step from per-frame PRNG keys
@@ -154,15 +182,23 @@ class ParallelSequenceStyler:
                 cfg.render.view_pool, n_views,
                 (cfg.render.theta0, cfg.render.theta1),
                 (cfg.render.phi0, cfg.render.phi1), seed=cfg.seed))
+        # append the per-view weight channel (mask / n_views); pad the
+        # views axis with weight-0 duplicates up to a multiple of v_shards
+        view_w = jnp.full((pool.shape[0], n_views, 1),
+                          1.0 / n_views, pool.dtype)
+        pool = jnp.concatenate([pool, view_w], axis=-1)
+        if nv_pad != n_views:
+            padv = pool[:, : nv_pad - n_views].at[..., 2].set(0.0)
+            pool = jnp.concatenate([pool, padv], axis=1)
 
         optimizer = styler._optimizer
 
         shapes = octave_shapes(spatial, oc.octave_n, oc.octave_scale)
         params = jax.vmap(lambda _: styler.init_param(spatial))(
-            jnp.arange(T))
+            jnp.arange(T_pad))
         info = {"octave_losses": []}
         base_keys = jax.vmap(
-            lambda t: jax.random.fold_in(key, t))(jnp.arange(T))
+            lambda t: jax.random.fold_in(key, t))(jnp.arange(T_pad))
 
         for o, shape in enumerate(shapes):
             is_vel = oc.parameterization == "velocity"
@@ -176,7 +212,7 @@ class ParallelSequenceStyler:
                     lambda v: resize(v, shape, is_velocity=True))(
                         vels_full) if tuple(shape) != spatial else vels_full
             else:
-                vels_o = jnp.zeros((T,) + tuple(shape) + (ndim,),
+                vels_o = jnp.zeros((T_pad,) + tuple(shape) + (ndim,),
                                    jnp.float32)
 
             # per-octave render scaling (matches GridStyler)
@@ -206,7 +242,7 @@ class ParallelSequenceStyler:
                 if step_sig not in self._step_cache:
                     self._step_cache[step_sig] = make_sharded_window_step(
                         mesh, loss_one, optimizer, window=window,
-                        n_views=n_views,
+                        n_views=nv_pad,
                         opt_state_example=optimizer.init(params),
                         n_iters=n_it)
                 step = self._step_cache[step_sig]
@@ -222,4 +258,4 @@ class ParallelSequenceStyler:
 
         d_star = jax.vmap(styler._apply_param)(params, d_full)
         d_star = jnp.maximum(d_star, 0.0)
-        return d_star, params, info
+        return d_star[:T], params[:T], info

@@ -146,7 +146,9 @@ def make_sharded_window_step(
       step(params, opt_state, d, vels, pool, keys, aux, it0)
         -> (params, opt_state, losses)
       with leading-axis-`frames` sharding on params/opt_state/d/vels/keys;
-      `pool` is the replicated (P, n_views, 2) Poisson view pool; `it0` is
+      `pool` is the replicated (P, n_views, C) Poisson view pool (C=2
+      angle columns, or 3 with a per-view weight column that
+      loss_one_frame may consume for view padding); `it0` is
       the global iteration offset (traced scalar, so chunked calls
       continue the PRNG stream without recompiling); `losses` is the
       (n_iters,) per-iteration global mean loss, left on device. All
@@ -155,7 +157,11 @@ def make_sharded_window_step(
     """
     n_frames_shards = mesh.shape["frames"]
     n_view_shards = mesh.shape["views"]
-    assert n_views % n_view_shards == 0
+    if n_views % n_view_shards != 0:
+        raise ValueError(
+            f"n_views={n_views} must divide the views mesh axis "
+            f"({n_view_shards}); pad the view pool with weight-0 views "
+            f"(ParallelSequenceStyler does this automatically)")
     nv_local = n_views // n_view_shards
 
     frames_spec = P("frames")

@@ -138,11 +138,46 @@ class TestEngineParity:
         np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b),
                                    rtol=1e-3, atol=1e-5)
 
-    def test_non_divisible_frames_raises(self):
-        cfg = _cfg()
+    def test_frame_padding_matches_divisible_mesh(self):
+        # 6 frames on a 4-shard frames axis: padded to 8 by replicating
+        # the last frame, outputs trimmed — must match the same run on a
+        # mesh where 6 divides (r2 regression: bare AssertionError)
+        cfg = _cfg(**{"optim.iters": 3})
         styler = GridStyler(cfg, style_image=_style())
-        engine = ParallelSequenceStyler(styler, make_mesh(frames=4,
-                                                          views=2))
-        ds = np.zeros((6, 24, 16), np.float32)  # 6 % 4 != 0
-        with pytest.raises(AssertionError):
-            engine.stylize(ds, None)
+        T = 6
+        rng = np.random.default_rng(7)
+        ds = rng.random((T, 12, 8, 12)).astype(np.float32)
+        vs = 0.2 * rng.standard_normal((T, 12, 8, 12, 3)).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+
+        e_pad = ParallelSequenceStyler(styler, make_mesh(frames=4, views=2))
+        d_pad, p_pad, _ = e_pad.stylize(ds, vs, key=key)
+        assert d_pad.shape == (T, 12, 8, 12)
+        e_ref = ParallelSequenceStyler(styler, make_mesh(frames=2, views=2))
+        d_ref, _, _ = e_ref.stylize(ds, vs, key=key)
+        np.testing.assert_allclose(np.asarray(d_pad), np.asarray(d_ref),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_nine_views_on_two_view_shards(self):
+        # the flagship BASELINE config: n_views=9 on the default (4, 2)
+        # mesh (r2 regression: assert n_views % v_shards crashed). Views
+        # are padded to 10 with a weight-0 duplicate; the weighted loss is
+        # exactly the mean over the 9 real views, so the run must MATCH
+        # the same optimization on an unpadded (4, 1) mesh.
+        cfg = _cfg(n_views=9, **{"optim.iters": 2, "optim.window": 0})
+        styler = GridStyler(cfg, style_image=_style())
+        T = 4
+        rng = np.random.default_rng(9)
+        ds = rng.random((T, 12, 8, 12)).astype(np.float32)
+        key = jax.random.PRNGKey(4)
+
+        e_pad = ParallelSequenceStyler(styler, make_mesh(frames=4, views=2))
+        d_pad, _, info_pad = e_pad.stylize(ds, None, key=key)
+        assert d_pad.shape == (T, 12, 8, 12)
+        e_ref = ParallelSequenceStyler(styler, make_mesh(frames=4, views=1))
+        d_ref, _, info_ref = e_ref.stylize(ds, None, key=key)
+        np.testing.assert_allclose(
+            np.asarray(info_pad["octave_losses"][0]),
+            np.asarray(info_ref["octave_losses"][0]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(d_pad), np.asarray(d_ref),
+                                   rtol=1e-3, atol=1e-5)

@@ -81,13 +81,45 @@ class TestServe:
                    name="bad")
         submit_job(spool, _job(data, str(tmp_path / "o"), style),
                    name="good")
-        stats = serve(spool, poll_s=0.01, max_jobs=1)
-        # the failing job is recorded as error; the good one still ran
+        # max_jobs counts PROCESSED jobs (errors included) so a stream of
+        # failing jobs can't spin the worker forever (r2 regression: the
+        # worker only counted successes and polled indefinitely)
+        stats = serve(spool, poll_s=0.01, max_jobs=2)
         with open(os.path.join(spool, "done", "bad.json")) as f:
             assert json.load(f)["status"] == "error"
         with open(os.path.join(spool, "done", "good.json")) as f:
             assert json.load(f)["status"] == "ok"
-        assert stats["jobs"] == 1  # only successful jobs count
+        assert stats["jobs"] == 1
+        assert stats["errors"] == 1
+
+    def test_failing_jobs_still_terminate(self, tmp_path):
+        # two bad jobs, max_jobs=2: must return (not hang) with 2 errors
+        spool = str(tmp_path / "spool")
+        style = str(tmp_path / "style.png")
+        _style_png(style)
+        for name in ("x", "y"):
+            submit_job(spool, _job("/nonexistent", str(tmp_path / "o"),
+                                   style), name=name)
+        stats = serve(spool, poll_s=0.01, max_jobs=2)
+        assert stats["jobs"] == 0
+        assert stats["errors"] == 2
+
+    def test_json_list_config_values_hashable(self, tmp_path):
+        # JSON has no tuples: list-valued overrides (render_size, layer
+        # lists) must be normalized to tuples so the frozen config stays
+        # hashable for the styler cache (r2 regression: TypeError)
+        from nfs_tpu.cli.serve import _config_from_job
+        job = _job("/d", "/o", None)
+        job["config"] = {
+            "render.render_size": [32, 32],
+            "loss.style_layers": ["relu1_1", "relu2_1"],
+            "loss.style_layer_weights": [1.0, 0.5],
+            "optim.iters": 2,
+        }
+        cfg = _config_from_job(job)
+        assert cfg.render.render_size == (32, 32)
+        assert cfg.loss.style_layers == ("relu1_1", "relu2_1")
+        hash(cfg)  # must not raise
 
     def test_stop_marker(self, tmp_path):
         spool = str(tmp_path / "spool")
