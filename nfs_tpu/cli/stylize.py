@@ -333,7 +333,9 @@ def main(argv=None):
                 **({"color": np.asarray(styled.color)}
                    if styled.color is not None else {}))
             preview(t, styler.rasterize(styled))
-            log_metric(frame=t, wall_s=time.time() - t0)
+            kf_info = styler.last_keyframe_infos.get(i, {})
+            log_metric(frame=t, wall_s=time.time() - t0,
+                       splat_overflow=kf_info.get("octave_overflow"))
             t0 = time.time()
     print(f"done -> {out_dir}")
 

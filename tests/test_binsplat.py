@@ -141,3 +141,55 @@ def test_styler_binned_3d_color_runs_and_learns():
     assert "color" in param and np.isfinite(np.asarray(
         jnp.concatenate(info["octave_losses"]))).all()
     assert float(jnp.max(jnp.abs(param["dx"]))) > 0
+
+
+def test_octave_ks_cap_falls_back_to_flat():
+    """Occupancy beyond the bucket_k cap (4096) must select the exact
+    flat scatter (None), not silently park the overflow for the whole
+    octave (ADVICE r2 medium)."""
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(3),
+                                          (64, 64, 3)))
+    st = ParticleStyler(_styler_cfg("binned"), grid_shape=(64, 64),
+                        style_image=style)
+    # 5000 particles in one cell: kmax=5000 > cap
+    x = jnp.full((5000, 2), 10.2, jnp.float32)
+    ks = st._octave_ks(x, None, [(64, 64)])
+    assert ks == [None]
+    # a spread-out set still uses the binned path
+    rng = np.random.default_rng(2)
+    x2 = jnp.asarray(rng.random((2000, 2)) * 50 + 6, jnp.float32)
+    ks2 = st._octave_ks(x2, None, [(64, 64)])
+    assert ks2[0] is not None
+
+
+def test_overflow_surfaced_and_warned(monkeypatch):
+    """A frame whose binned capacity is too small must report parked
+    particles in info['octave_overflow'] and warn (VERDICT r2 weak #4)."""
+    import warnings as _warnings
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(4),
+                                          (128, 128, 3)))
+    st = ParticleStyler(_styler_cfg("binned"), grid_shape=(64, 64),
+                        style_image=style)
+    # force K=1 while several particles share cells -> parked overflow
+    monkeypatch.setattr(ParticleStyler, "_octave_ks",
+                        lambda self, x, dx, shapes: [1] * len(shapes))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        np.repeat(rng.random((50, 2)) * 40 + 12, 4, axis=0), jnp.float32)
+    pset = ParticleSet(x=x, dens=jnp.ones((200,), jnp.float32))
+    with pytest.warns(UserWarning, match="parked"):
+        _, _, info = st.stylize_frame(pset)
+    assert max(info["octave_overflow"]) > 0
+
+
+def test_no_overflow_reports_zero():
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(5),
+                                          (128, 128, 3)))
+    st = ParticleStyler(_styler_cfg("binned"), grid_shape=(64, 64),
+                        style_image=style)
+    rng = np.random.default_rng(4)
+    pset = ParticleSet(
+        x=jnp.asarray(rng.random((500, 2)) * 40 + 12, jnp.float32),
+        dens=jnp.ones((500,), jnp.float32))
+    _, _, info = st.stylize_frame(pset)
+    assert info["octave_overflow"] == [0] * len(info["octave_losses"])

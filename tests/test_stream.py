@@ -60,6 +60,24 @@ class TestStreamIO:
             seen += B
         assert seen == T
 
+    @pytest.mark.parametrize("halo,chunk", [(3, 2), (5, 2), (4, 1)])
+    def test_deep_halo_spans_multiple_chunks(self, tmp_path, halo, chunk):
+        """halo > chunk size: the halo must contain the TRUE frames from
+        chunks further over, not nearest-frame replicas (ADVICE r2)."""
+        d = str(tmp_path / "seq")
+        T = 11
+        ds, vs = _write_chunks(d, T=T, shape=(4, 4), chunk=chunk)
+        P = max(halo, 1)
+        seen = 0
+        for t0, db, ctx in iter_sequence_blocks(d, halo):
+            B = db.shape[0]
+            assert ctx.shape[0] == B + 2 * P
+            for k in range(B + 2 * P):
+                g = min(max(t0 - P + k, 0), T - 1)
+                assert np.array_equal(ctx[k], vs[g]), (t0, k, g)
+            seen += B
+        assert seen == T
+
     def test_n_frames_truncation(self, tmp_path):
         d = str(tmp_path / "seq")
         ds, vs = _write_chunks(d, T=11, shape=(6, 4, 6), chunk=4)
