@@ -93,6 +93,14 @@ def main():
             oshape, rsize, cfg.render.n_views, cfg.loss.style_layers)
     achieved = frame_flops / wall
     losses = [float(l[-1]) for l in info["octave_losses"]]
+
+    # per-stage breakdown at the finest octave (SURVEY.md §5 tracing;
+    # VERDICT r2 #2 — account for the non-VGG share of the step)
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "bench"))
+    from stages import stage_breakdown
+    stages = stage_breakdown(styler, d, n=6)
     result = {
         "metric": "3d_112x64x112_9view_adam_iters_per_sec",
         "value": round(iters_per_sec, 3),
@@ -105,6 +113,7 @@ def main():
         "frame_tflops": round(frame_flops / 1e12, 3),
         "achieved_tflops_per_s": round(achieved / 1e12, 2),
         "mfu_vs_v5e_bf16_peak": round(mfu(achieved, TPU_V5E_PEAK_BF16), 4),
+        "stages_ms_finest_octave": stages,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -48,7 +48,8 @@ def main():
     enable_compile_cache()
 
     from nfs_tpu.core.config import StyleConfig, replace
-    from nfs_tpu.eval.quality import (gram_convergence, gram_distance,
+    from nfs_tpu.eval.quality import (coherence_gate, gram_convergence,
+                                      gram_distance,
                                       stylization_strength,
                                       temporal_coherence)
     from nfs_tpu.features.losses import style_gram_targets
@@ -116,9 +117,13 @@ def main():
         "temporal_coherence": {
             "stylized": coh_styl,
             "sim_reference": coh_sim,
-            # stylized sequence should track the flow about as well as
-            # the sim itself does (both ratios well below 1)
-            "coherent": coh_styl["ratio"] < 1.0,
+            # gate: the stylized sequence must track the flow within 3x
+            # of the sim's own transport residual (the sim ratio is the
+            # attainable floor; < 1.0 alone passed anything short of
+            # total incoherence — VERDICT r2 weak #5)
+            "coherent": coherence_gate(coh_styl["ratio"],
+                                       coh_sim["ratio"]),
+            "gate": "stylized.ratio < 3 * sim.ratio",
         },
         "config": {"shape": list(shape), "frames": args.frames,
                    "iters": args.iters, "window": args.window},

@@ -250,6 +250,15 @@ def main(argv=None):
             start = 0
             while start < len(frames) and manifest.done(frames[start]):
                 start += 1
+            # fused dispatches persist the carry param only at chunk
+            # boundaries; align the resume point to the last frame whose
+            # param was saved so the recursive warm-start chain stays
+            # exact (re-stylizes at most fused-1 already-done frames
+            # instead of cold-starting the chain mid-sequence)
+            if args.fused and args.fused > 1:
+                while start > 0 and not os.path.exists(os.path.join(
+                        out_dir, f"param_{frames[start - 1]:04d}.npz")):
+                    start -= 1
             todo = frames[start:]
             if not todo:
                 print("all frames already stylized (manifest)")

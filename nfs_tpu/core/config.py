@@ -135,6 +135,13 @@ class OptimConfig:
     # formulation (nfs_tpu/ops/advect.py) — ~20x faster transposes on TPU;
     # displacements are clamped to +-max_disp (a CFL-style regularizer).
     max_disp: Optional[float] = 2.0
+    # advection scheme for the recursive warm-start transport of the
+    # OPTIMIZATION PARAM between frames (TNST §6): 'semi' = one
+    # semi-Lagrangian pass; 'maccormack' = BFECC with min-max limiting —
+    # second-order, so the inherited stylization pattern diffuses less
+    # per frame (temporal-coherence lever, VERDICT r2 #5). Costs ~2 extra
+    # window passes per FRAME (not per iteration) — negligible.
+    param_advect: str = "maccormack"
     # tighter bound for the OPTIMIZED stylization velocity field v_hat
     # (TNST §4.2): its displacements are small perturbations, and the
     # window tap count scales with (2*ceil(bound)+3)^d — bound 1 uses
@@ -169,7 +176,10 @@ class ParticleConfig:
     max_offset: float = 4.0
     # splat implementation: 'binned' = dense (cells, K) shift-window
     # (ops/binsplat.py, 3.6-5.4x faster fwd+bwd on v5e, bspline/support=1
-    # only) | 'flat' = one flat XLA scatter (ops/splat.py, any kernel)
+    # only) | 'binned_pallas' = binned layout with the fused Pallas VMEM
+    # window kernels (ops/pallas_binsplat.py; 3D single-channel attrs —
+    # color/2D fall back to the XLA binned window) | 'flat' = one flat
+    # XLA scatter (ops/splat.py, any kernel)
     splat_impl: str = "binned"
     # iterations between re-binnings (position drift between rebins
     # truncates O(drift^2) kernel mass at the bin-support edge)

@@ -61,6 +61,16 @@ def temporal_coherence(frames: jax.Array, velocities: jax.Array,
     }
 
 
+def coherence_gate(stylized_ratio: float, sim_ratio: float,
+                   factor: float = 3.0) -> bool:
+    """Pass/fail for sequence coherence: the stylized sequence must track
+    the flow within `factor`x of the sim's OWN transport residual (the
+    attainable floor given advection/boundary error). A plain `< 1.0`
+    gate passed anything short of total incoherence (VERDICT r2 weak #5).
+    """
+    return bool(stylized_ratio < factor * sim_ratio)
+
+
 def gram_distance(vgg_params, images: jax.Array,
                   target_grams: Dict[str, jax.Array],
                   layers: Sequence[str],

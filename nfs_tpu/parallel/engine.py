@@ -129,6 +129,21 @@ class ParallelSequenceStyler:
 
     # ------------------------------------------------------------- #
 
+    def _place_space(self, x, ndim: int):
+        """Commit a (T, *spatial[, c]) array sharded over frames AND the
+        volume's y axis (3D; x-axis for 2D) on a composed
+        (frames, views, space) mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dim = 2 if ndim == 3 else 1
+        spec = [None] * x.ndim
+        spec[0] = "frames"
+        # coarse octaves with odd sizes stay frames-sharded only — space
+        # sharding is a memory lever for the FINE octaves (choose even
+        # fine-octave sizes for large runs)
+        if x.shape[dim] % self.mesh.shape["space"] == 0:
+            spec[dim] = "space"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
     def stylize(self, densities: np.ndarray,
                 velocities: Optional[np.ndarray] = None,
                 key: Optional[jax.Array] = None,
@@ -214,6 +229,15 @@ class ParallelSequenceStyler:
             else:
                 vels_o = jnp.zeros((T_pad,) + tuple(shape) + (ndim,),
                                    jnp.float32)
+
+            if "space" in mesh.shape:
+                # composed mesh: pin each frame's volume over the space
+                # axis too (y for 3D), so params/Adam/densities are
+                # 1/(frames*space) per device — the larger-than-HBM
+                # sequence regime (SURVEY.md §2 collectives row)
+                params = self._place_space(params, ndim)
+                d_o = self._place_space(d_o, ndim)
+                vels_o = self._place_space(vels_o, ndim)
 
             # per-octave render scaling (matches GridStyler)
             render_size = styler._octave_render_size(shape, spatial)

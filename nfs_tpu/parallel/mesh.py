@@ -15,20 +15,29 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(frames: int = 1, views: int = 1,
+def make_mesh(frames: int = 1, views: int = 1, space: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (frames, views) mesh from the available devices.
+    """Build a (frames, views[, space]) mesh from the available devices.
 
-    frames * views must divide the device count; leftover devices are
-    unused (a warning-free truncation, explicit is better than implicit
-    failure on odd pod shapes).
+    frames * views * space must divide the device count; leftover devices
+    are unused (a warning-free truncation, explicit is better than
+    implicit failure on odd pod shapes). With space > 1 the mesh carries a
+    third ``space`` axis over which the engine shards each frame's VOLUME
+    (GSPMD auto-partitioning — SURVEY.md §2's composed
+    (frames, views, space) mesh for larger-than-HBM volume sequences).
+    Space rides the INNERMOST mesh dimension: volume halo collectives run
+    every advection tap, so they get the fastest ICI hops; frame halos
+    (small, once per dispatch) ride the outermost.
     """
     devices = list(devices if devices is not None else jax.devices())
-    need = frames * views
+    need = frames * views * space
     if need > len(devices):
         raise ValueError(
-            f"mesh ({frames} frames x {views} views = {need}) exceeds "
-            f"{len(devices)} available devices")
+            f"mesh ({frames} frames x {views} views x {space} space = "
+            f"{need}) exceeds {len(devices)} available devices")
+    if space > 1:
+        arr = np.array(devices[:need]).reshape(frames, views, space)
+        return Mesh(arr, axis_names=("frames", "views", "space"))
     arr = np.array(devices[:need]).reshape(frames, views)
     return Mesh(arr, axis_names=("frames", "views"))
 

@@ -163,6 +163,28 @@ def make_sharded_window_step(
             f"({n_view_shards}); pad the view pool with weight-0 views "
             f"(ParallelSequenceStyler does this automatically)")
     nv_local = n_views // n_view_shards
+    # composed (frames, views, space) mesh: frames/views stay MANUAL
+    # (ppermute halos + psum grad reductions below); the space axis is
+    # left AUTO so GSPMD partitions each frame's volume — exactly the
+    # single-frame TP design (parallel/spatial.py), composed under the
+    # frame/view shard_map. Volume-mixing ops (advection taps, shears,
+    # resizes) get their halo collectives inserted by XLA.
+    has_space = "space" in mesh.axis_names
+
+    def _space_constrain(x, ndim_spatial):
+        """Pin a (L, *spatial[, c]) per-shard array's y axis (3D; x for
+        2D — any volume axis works there) to the `space` mesh axis.
+        Odd-sized (coarse-octave) axes stay unconstrained: GSPMD shardings
+        need divisibility, and the memory win lives at the fine octaves."""
+        if not has_space:
+            return x
+        dim = 2 if ndim_spatial == 3 else 1
+        if x.shape[dim] % mesh.shape["space"] != 0:
+            return x
+        spec = [None] * x.ndim
+        spec[dim] = "space"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
 
     frames_spec = P("frames")
 
@@ -171,6 +193,11 @@ def make_sharded_window_step(
         #   params: (L, *param_shape)   d: (L, *spatial)
         #   vels:   (L, *spatial, nd)   pool: (P, n_views, 2) replicated
         #   keys:   (L, 2) uint32       it0: () int32 replicated
+        nds = d.ndim - 1  # spatial rank
+        if has_space:
+            d = _space_constrain(d, nds)
+            vels = _space_constrain(vels, nds)
+            params = _space_constrain(params, nds)
         if window > 0:
             left, right = halo_exchange(vels, window, "frames")
             vels_pad = jnp.concatenate([left, vels, right], axis=0)
@@ -214,6 +241,8 @@ def make_sharded_window_step(
             loss = jax.lax.psum(loss, "views")
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if has_space:  # keep the carry pinned across scan iterations
+                params = _space_constrain(params, nds)
             # `loss` is now the sum of FULL per-frame losses over local
             # frames; psum over frames -> global sum over T frames.
             mean_loss = jax.lax.psum(loss, "frames") / (L * n_frames_shards)
@@ -235,6 +264,10 @@ def make_sharded_window_step(
                 P(), frames_spec, P(), P())
     out_specs = (frames_spec, opt_state_specs, P())
 
+    kw = {}
+    if has_space:
+        # partial-manual: frames/views manual, space left to GSPMD
+        kw["axis_names"] = frozenset({"frames", "views"})
     sharded = shard_map(_local_run, mesh=mesh, in_specs=in_specs,
-                        out_specs=out_specs, check_vma=False)
+                        out_specs=out_specs, check_vma=False, **kw)
     return jax.jit(sharded)

@@ -43,7 +43,7 @@ from nfs_tpu.features.losses import (
     tv_loss,
 )
 from nfs_tpu.io.image import load_image
-from nfs_tpu.ops.advect import advect
+from nfs_tpu.ops.advect import advect, advect_maccormack
 from nfs_tpu.ops.resize import octave_shapes, resize
 from nfs_tpu.render.camera import poisson_view_pool, sample_views_stratified
 from nfs_tpu.render.raymarch import render2d, render_views
@@ -51,37 +51,44 @@ from nfs_tpu.styler.octave import run_octave
 
 
 @partial(jax.jit, static_argnames=("step_fn",), donate_argnums=(0,))
-def _seq_chunk_block(param, t_glob, t_loc, keys, dens, vels, data,
+def _seq_chunk_block(param, t_glob, t_loc, keys, valid, dens, vels, data,
                      step_fn):
     """Block-streamed variant of :func:`_seq_chunk`: dens covers only a
     block of the sequence (indexed by t_loc) and vels is the block's
     velocity CONTEXT, pre-padded with the window halo on both sides —
     so whole sequences never need to be device-resident and host IO of
     block k+1 overlaps the device compute of block k (dispatches are
-    async)."""
+    async). `valid` masks carry updates for tail-padding steps (padded
+    steps keep the carry unchanged, so a padded tail chunk reuses the
+    full-chunk executable instead of recompiling — O(minutes) on a
+    remote TPU)."""
     def body(p, xs):
-        tg, tl, key = xs
-        p, d_star, losses = step_fn(p, tg, tl, key, dens, vels, data)
+        tg, tl, key, ok = xs
+        p_new, d_star, losses = step_fn(p, tg, tl, key, dens, vels, data)
+        p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
         return p, (d_star, losses)
 
     param, (d_stars, losses) = jax.lax.scan(body, param,
-                                            (t_glob, t_loc, keys))
+                                            (t_glob, t_loc, keys, valid))
     return param, d_stars, losses
 
 
 @partial(jax.jit, static_argnames=("step_fn",), donate_argnums=(0,))
-def _seq_chunk(param, t_idx, keys, dens, vels, data, step_fn):
+def _seq_chunk(param, t_idx, keys, valid, dens, vels, data, step_fn):
     """Scan `step_fn` (one frame's FULL multi-octave optimization) over a
     chunk of frames in a single device dispatch — the whole-sequence
     single-dispatch path (SURVEY.md §7 design stance: no per-frame Python
     dispatch, no per-frame host crossing; dens/vels stay device-resident
-    and are indexed inside the scan)."""
+    and are indexed inside the scan). `valid` masks carry updates for
+    tail-padding steps (see :func:`_seq_chunk_block`)."""
     def body(p, xs):
-        t, key = xs
-        p, d_star, losses = step_fn(p, t, key, dens, vels, data)
+        t, key, ok = xs
+        p_new, d_star, losses = step_fn(p, t, key, dens, vels, data)
+        p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
         return p, (d_star, losses)
 
-    param, (d_stars, losses) = jax.lax.scan(body, param, (t_idx, keys))
+    param, (d_stars, losses) = jax.lax.scan(body, param,
+                                            (t_idx, keys, valid))
     return param, d_stars, losses
 
 
@@ -392,10 +399,13 @@ class GridStyler:
             d_full = dens[t]
             if vels is not None:
                 # recursive init (TNST §6): transport the previous frame's
-                # stylization forward. At t=0 param is zeros, so the
-                # clamped vels[-1 -> 0] advection is a no-op by value.
-                param_t = advect(param, vels[jnp.maximum(t - 1, 0)],
-                                 max_disp=oc.max_disp)
+                # stylization forward — except at t=0, whose carry is
+                # either zeros (fresh run) or a resume init_param that was
+                # ALREADY transported by its true predecessor velocity
+                # (prev_velocity); advecting it again by vels[0] here
+                # would be the wrong transport.
+                adv = self._advect_param(param, vels[jnp.maximum(t - 1, 0)])
+                param_t = jnp.where(t > 0, adv, param)
             else:
                 param_t = param
             vels_win = None
@@ -429,8 +439,7 @@ class GridStyler:
         def step_fn(param, t_glob, t_loc, key, dens, vels, data):
             d_full = dens[t_loc]
             if vels is not None:
-                param_t = advect(param, vels[P + t_loc - 1],
-                                 max_disp=oc.max_disp)
+                param_t = self._advect_param(param, vels[P + t_loc - 1])
             else:
                 param_t = param
             vels_win = None
@@ -451,6 +460,16 @@ class GridStyler:
         if self.cfg.optim.parameterization == "velocity":
             return jnp.zeros(tuple(shape) + (len(shape),), jnp.float32)
         return jnp.zeros(tuple(shape), jnp.float32)
+
+    def _advect_param(self, param: jax.Array, v: jax.Array) -> jax.Array:
+        """Recursive warm-start transport (TNST §6): carry the previous
+        frame's stylization param forward through the sim velocity.
+        optim.param_advect selects semi-Lagrangian vs MacCormack/BFECC
+        (second-order — the inherited pattern diffuses less per frame)."""
+        oc = self.cfg.optim
+        if oc.param_advect == "maccormack":
+            return advect_maccormack(param, v, max_disp=oc.max_disp)
+        return advect(param, v, max_disp=oc.max_disp)
 
     def _resize_param(self, param: jax.Array, shape: Tuple[int, ...]
                       ) -> jax.Array:
@@ -505,6 +524,21 @@ class GridStyler:
             with np.load(checkpoint_path) as npz:
                 import json
                 meta = json.loads(bytes(npz["__meta__"]).decode())
+            # the bit-exact-resume guarantee holds only if the PRNG
+            # chunking (log_every), iteration budget, and octave ladder
+            # are unchanged between runs — refuse loudly on a mismatch
+            # instead of silently diverging from the uninterrupted run
+            expect = {"log_every": oc.log_every, "iters": oc.iters,
+                      "shapes": [list(s) for s in shapes]}
+            for k, want in expect.items():
+                got = meta.get(k, want)  # old checkpoints: no guard
+                if got != want:
+                    raise ValueError(
+                        f"in-frame checkpoint {checkpoint_path} was "
+                        f"written with {k}={got} but this run uses "
+                        f"{k}={want}; resuming would not bit-match an "
+                        f"uninterrupted run. Restore the original flag "
+                        f"or delete the checkpoint to restart the frame.")
             o = int(meta["octave"])
             p_like = self.init_param(shapes[o])
             like = {"param": p_like,
@@ -541,9 +575,11 @@ class GridStyler:
             state_cb = None
             if checkpoint_path:
                 def state_cb(done, p, s, _o=o):
-                    save_checkpoint(checkpoint_path,
-                                    {"param": p, "opt_state": s},
-                                    meta={"octave": _o, "iters_done": done})
+                    save_checkpoint(
+                        checkpoint_path, {"param": p, "opt_state": s},
+                        meta={"octave": _o, "iters_done": done,
+                              "log_every": oc.log_every, "iters": oc.iters,
+                              "shapes": [list(s_) for s_ in shapes]})
 
             param, losses, _ = run_octave(
                 param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
@@ -600,7 +636,10 @@ class GridStyler:
 
         Yields (frame_index, d_star, param) per frame — streaming, so the
         caller can write each frame to disk as it completes (frame-granular
-        idempotence, SURVEY.md §5).
+        idempotence, SURVEY.md §5). NOTE (fused path): the yielded carry
+        `param` buffer is DONATED to the next chunk's dispatch — persist
+        it (np.asarray / save) before resuming the generator; holding the
+        device array across chunks raises "Array has been deleted".
         """
         cfg = self.cfg
         W = cfg.optim.window
@@ -615,9 +654,11 @@ class GridStyler:
 
         fused = cfg.optim.fused_frames if fused is None else fused
         if (fused and fused > 1 and callback is None
-                and checkpoint_path is None and init_param is None):
+                and checkpoint_path is None):
             yield from self._stylize_sequence_fused(
-                densities, velocities, key, fused)
+                densities, velocities, key, fused,
+                init_param=init_param, prev_velocity=prev_velocity,
+                frame_offset=frame_offset)
             return
 
         # NOTE: every frame handed in is stylized — frame selection
@@ -640,8 +681,7 @@ class GridStyler:
                 elif t > 0 and velocities is not None:
                     v_prev = velocities[t - 1]
                 if v_prev is not None:
-                    param = advect(param, v_prev,
-                                   max_disp=cfg.optim.max_disp)
+                    param = self._advect_param(param, v_prev)
             # absolute-frame-indexed keys: a resumed run (frame_offset>0)
             # draws the exact keys the uninterrupted run drew
             sub = jax.random.fold_in(key, frame_offset + t)
@@ -675,6 +715,7 @@ class GridStyler:
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         param = None
         step_fn = None
+        B_std = None  # first block's size = the canonical executable shape
         for t0, dens_block, vels_ctx in blocks:
             dens_block = jnp.asarray(dens_block, jnp.float32)
             if vels_ctx is not None:
@@ -689,15 +730,36 @@ class GridStyler:
                     "targets": self.gram_targets,
                     "content": self.content_feats}
             B = dens_block.shape[0]
+            # pad a SMALLER final block up to the canonical block size by
+            # repeating the last frame (extra entries never indexed: t_loc
+            # is clipped to the real range and padded scan steps are
+            # carry-masked) — otherwise the tail block's shape triggers a
+            # second full compile of the multi-octave program
+            if B_std is None:
+                B_std = B
+            elif B < B_std:
+                pad = B_std - B
+                dens_block = jnp.concatenate(
+                    [dens_block, jnp.repeat(dens_block[-1:], pad, axis=0)])
+                if vels_ctx is not None:
+                    vels_ctx = jnp.concatenate(
+                        [vels_ctx, jnp.repeat(vels_ctx[-1:], pad, axis=0)])
+            chunk_std = min(fused, B_std)
             for c0 in range(0, B, fused):
                 n = min(fused, B - c0)
-                t_glob = jnp.arange(t0 + c0, t0 + c0 + n, dtype=jnp.int32)
-                t_loc = jnp.arange(c0, c0 + n, dtype=jnp.int32)
-                keys = jnp.stack([jax.random.fold_in(key, int(t))
-                                  for t in range(t0 + c0, t0 + c0 + n)])
+                nc = max(n, chunk_std)  # pad partial chunks, same reason
+                t_glob = jnp.minimum(
+                    jnp.arange(t0 + c0, t0 + c0 + nc, dtype=jnp.int32),
+                    t0 + B - 1)
+                t_loc = jnp.minimum(
+                    jnp.arange(c0, c0 + nc, dtype=jnp.int32), B - 1)
+                keys = jnp.stack([
+                    jax.random.fold_in(key, min(t, t0 + B - 1))
+                    for t in range(t0 + c0, t0 + c0 + nc)])
+                valid = jnp.arange(nc) < n
                 param, d_stars, _ = _seq_chunk_block(
-                    param, t_glob, t_loc, keys, dens_block, vels_ctx,
-                    data, step_fn=step_fn)
+                    param, t_glob, t_loc, keys, valid, dens_block,
+                    vels_ctx, data, step_fn=step_fn)
                 last_in_block = c0 + n == B
                 for i in range(n):
                     yield (t0 + c0 + i, d_stars[i],
@@ -705,8 +767,17 @@ class GridStyler:
                            else None)
 
     def _stylize_sequence_fused(self, densities, velocities, key,
-                                fused: int):
-        """Fused driver: chunks of `fused` frames, one dispatch each."""
+                                fused: int, init_param=None,
+                                prev_velocity=None, frame_offset: int = 0):
+        """Fused driver: chunks of `fused` frames, one dispatch each.
+
+        Keys are fold_in(key, frame_offset + t) — absolute-frame-indexed
+        like the streaming and block paths, so a resumed run draws the
+        same keys as an uninterrupted one. A partial final chunk is
+        PADDED to `fused` steps with carry-masked no-ops so it reuses the
+        full-chunk executable (a tail recompile costs O(minutes) on a
+        remote TPU; the padded steps cost (fused - n) wasted frame
+        optimizations ONCE per sequence)."""
         T = densities.shape[0]
         full_shape = tuple(densities.shape[1:])
         window = (self.cfg.optim.window if velocities is not None else 0)
@@ -717,14 +788,27 @@ class GridStyler:
             "targets": self.gram_targets,
             "content": self.content_feats,
         }
-        param = self.init_param(full_shape)
+        if init_param is not None:
+            param = jnp.asarray(init_param, jnp.float32)
+            if prev_velocity is not None:
+                # transport the completed predecessor's stylization into
+                # frame 0 (step_fn skips its own advection at t=0)
+                param = self._advect_param(
+                    param, jnp.asarray(prev_velocity, jnp.float32))
+        else:
+            param = self.init_param(full_shape)
         for t0 in range(0, T, fused):
             n = min(fused, T - t0)
-            t_idx = jnp.arange(t0, t0 + n, dtype=jnp.int32)
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, n)
+            # pad the tail chunk only when a full chunk was already
+            # compiled; a short-sequence single chunk stays exact-sized
+            nc = fused if T > fused else n
+            t_idx = jnp.minimum(jnp.arange(t0, t0 + nc, dtype=jnp.int32),
+                                T - 1)
+            keys = jnp.stack([jax.random.fold_in(key, frame_offset + t)
+                              for t in range(t0, t0 + nc)])
+            valid = jnp.arange(nc) < n
             param, d_stars, _ = _seq_chunk(
-                param, t_idx, keys, densities, velocities, data,
+                param, t_idx, keys, valid, densities, velocities, data,
                 step_fn=step_fn)
             for i in range(n):
                 yield t0 + i, d_stars[i], (param if i == n - 1 else None)

@@ -158,6 +158,36 @@ class TestEngineParity:
         np.testing.assert_allclose(np.asarray(d_pad), np.asarray(d_ref),
                                    rtol=1e-3, atol=1e-5)
 
+    def test_composed_space_mesh_matches_2axis(self):
+        # composed (frames, views, space) mesh (SURVEY.md §2 collectives
+        # row; VERDICT r2 missing #2): the joint window step with each
+        # frame's volume ALSO sharded over `space` (GSPMD auto axis under
+        # the frame/view shard_map) must match the 2-axis run — sharding
+        # is a placement choice, not a math change.
+        cfg = _cfg(n_views=2, **{"optim.iters": 3, "optim.octave_n": 2,
+                                 "optim.octave_scale": 2.0})
+        styler = GridStyler(cfg, style_image=_style())
+        T = 4
+        rng = np.random.default_rng(13)
+        ds = rng.random((T, 16, 12, 16)).astype(np.float32)
+        vs = 0.2 * rng.standard_normal((T, 16, 12, 16, 3)).astype(
+            np.float32)
+        key = jax.random.PRNGKey(21)
+
+        e2 = ParallelSequenceStyler(styler, make_mesh(frames=2, views=2))
+        d2, _, info2 = e2.stylize(ds, vs, key=key)
+        e3 = ParallelSequenceStyler(styler,
+                                    make_mesh(frames=2, views=2, space=2))
+        d3, p3, info3 = e3.stylize(ds, vs, key=key)
+
+        for l2, l3 in zip(info2["octave_losses"], info3["octave_losses"]):
+            np.testing.assert_allclose(np.asarray(l2), np.asarray(l3),
+                                       rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d3),
+                                   rtol=1e-3, atol=1e-5)
+        # the space axis actually shards: params live on all 8 devices
+        assert len(p3.sharding.device_set) == 8
+
     def test_nine_views_on_two_view_shards(self):
         # the flagship BASELINE config: n_views=9 on the default (4, 2)
         # mesh (r2 regression: assert n_views % v_shards crashed). Views

@@ -142,6 +142,36 @@ class TestGridStyler2D:
             assert np.abs(df - dstr).mean() < 0.5 * scale, (
                 f"fused diverged from streaming at frame {t}")
 
+    def test_sequence_fused_resume_bit_exact(self):
+        # fused resume (ADVICE r2): restarting from a chunk-boundary
+        # carry param with frame_offset must reproduce the uninterrupted
+        # run bit-for-bit — keys are absolute-frame-indexed and the
+        # resume carry is transported by the true predecessor velocity
+        cfg = tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 2,
+                          "optim.window": 1, "optim.fused_frames": 2})
+        styler = GridStyler(cfg, style_image=style_img())
+        T = 5
+        ds = np.stack([blob2d() * (1 + 0.1 * t) for t in range(T)])
+        vs = np.full((T, 32, 24, 2), 0.3, np.float32)
+        # snapshot the chunk-boundary carry WHEN YIELDED: the next fused
+        # chunk donates the carry buffer (the CLI persists it to disk at
+        # this point for the same reason)
+        full, carry_at_1 = [], None
+        for t, d_star, param in styler.stylize_sequence(ds, vs):
+            full.append((t, np.asarray(d_star), param))
+            if t == 1:
+                assert param is not None
+                carry_at_1 = np.asarray(param)
+        carry_at_1 = jnp.asarray(carry_at_1)
+
+        resumed = list(styler.stylize_sequence(
+            ds[2:], vs[2:], init_param=carry_at_1,
+            prev_velocity=vs[1], frame_offset=2))
+        assert [t for t, _, _ in resumed] == [0, 1, 2]
+        for (t_r, d_r, _), (t_f, d_f, _) in zip(resumed, full[2:]):
+            np.testing.assert_array_equal(np.asarray(d_r),
+                                          np.asarray(d_f))
+
     def test_sequence_ignores_frame_stride(self):
         # stride is applied by the CALLER (the CLI builds the strided
         # frame list); stylize_sequence must stylize every frame handed
