@@ -275,10 +275,21 @@ class ParticleStyler:
         color and the color-normalization denominator share ONE window
         pass (channels of the same splat)."""
         rsize = self._octave_render_size(scale)
-        sig = ("binned", shape, round(scale, 6), K, rsize)
+        pc = self.cfg.particle
+        sig = ("binned", pc.splat_impl, shape, round(scale, 6), K, rsize)
         if sig in self._loss_cache:
             return self._loss_cache[sig]
-        pc = self.cfg.particle
+        use_pallas = pc.splat_impl == "binned_pallas" and len(shape) == 3
+
+        def _splat(pb, attr, valid):
+            # fused Pallas VMEM window for the 3D single-channel case
+            # (the hot LNST-3D config); the color path shares one
+            # multi-channel XLA window pass (splitting it into per-channel
+            # pallas calls would re-read the frac arrays per channel)
+            if use_pallas and attr.ndim == 1:
+                from nfs_tpu.ops.pallas_binsplat import splat_binned_pallas
+                return splat_binned_pallas(pb, attr, valid, shape, K)
+            return splat_binned(pb, attr, valid, shape, K)
 
         def loss_fn(param_b, key, data_b):
             # binned leaves are slot-minor: xb/dxb (dim, S), densb (S,),
@@ -297,12 +308,11 @@ class ParticleStyler:
                 ones = jnp.ones_like(dens_eff)
                 attr = jnp.concatenate(
                     [dens_eff[None], colb, ones[None]], axis=0)
-                out = splat_binned(pb, attr, valid, shape, K)
+                out = _splat(pb, attr, valid)
                 d_grid = out[..., 0] * (scale ** 2)
                 c_grid = out[..., 1:4] / (out[..., 4:5] + 1e-6)
             else:
-                d_grid = splat_binned(pb, dens_eff, valid, shape,
-                                      K) * (scale ** 2)
+                d_grid = _splat(pb, dens_eff, valid) * (scale ** 2)
                 c_grid = None
             imgs = self._render(d_grid, c_grid, key, data_b["pool"], rsize)
             total = self._image_loss(imgs, data_b)
@@ -322,8 +332,8 @@ class ParticleStyler:
         None when the binned path shouldn't be used at all; per-octave
         entries are None where the slot budget is blown."""
         pc = self.cfg.particle
-        if (pc.splat_impl != "binned" or pc.kernel != "bspline"
-                or pc.support != 1.0):
+        if (pc.splat_impl not in ("binned", "binned_pallas")
+                or pc.kernel != "bspline" or pc.support != 1.0):
             return None
         p = x + dx if dx is not None else x
         kmaxes = np.asarray(_octave_max_counts(
