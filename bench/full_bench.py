@@ -242,7 +242,7 @@ def bench_lnst_vs_tnst_sequence(quick):
     from nfs_tpu.styler.grid import GridStyler
     from nfs_tpu.styler.particle import ParticleStyler
 
-    T = 10 if quick else 20
+    T = 10 if quick else 40
     n_p = 50_000 if quick else 200_000
     iters = 6 if quick else 20
     stride = 5 if quick else 10
@@ -284,8 +284,12 @@ def bench_lnst_vs_tnst_sequence(quick):
     lst = ParticleStyler(lcfg, grid_shape=grid, style_image=style)
 
     def run_lnst():
-        outs = [np.asarray(s.x) for _, s in lst.stylize_keyframes(psets)]
+        # keep outputs device-resident, ONE terminal sync — the TNST run
+        # below also downloads nothing per frame (in-order execution
+        # means syncing the last enqueued result covers the whole chain)
+        outs = [s.x for _, s in lst.stylize_keyframes(psets)]
         assert len(outs) == T
+        np.asarray(outs[-1])
 
     gcfg = replace(StyleConfig(), **dict(common, **{"optim.fused_frames": 5}))
     gst = GridStyler(gcfg, style_image=style)
