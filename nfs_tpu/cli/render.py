@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--phi", type=float, default=0.0, help="degrees")
     p.add_argument("--transmit", type=float, default=0.01)
     p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--transfer_fn", default=None,
+                   help="density->RGB transfer function: builtin colormap"
+                        " (fire, ice, viridis, gray) or gradient-image "
+                        "path; default grayscale")
+    p.add_argument("--tf_max_density", type=float, default=2.0)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -47,6 +52,10 @@ def main(argv=None):
     from nfs_tpu.io.image import save_image, save_video
     from nfs_tpu.io.npz import FrameStore
     from nfs_tpu.render.raymarch import render2d, render_volume
+    from nfs_tpu.render.transfer import resolve_transfer
+
+    tf_nodes = resolve_transfer(args.transfer_fn)
+    tf_nodes = jnp.asarray(tf_nodes) if tf_nodes is not None else None
 
     out_dir = args.out or os.path.join(args.data_dir, "render")
     os.makedirs(out_dir, exist_ok=True)
@@ -73,12 +82,14 @@ def main(argv=None):
             d = splat(jnp.asarray(raw["x"]), dens, shape)
         if d.ndim == 2:
             img = render2d(d, out_size=tuple(args.render_size),
-                           gamma=args.gamma)
+                           gamma=args.gamma, tf_nodes=tf_nodes,
+                           tf_max=args.tf_max_density)
         else:
             img = render_volume(d, jnp.float32(theta), jnp.float32(phi),
                                 transmit=args.transmit,
                                 out_size=tuple(args.render_size),
-                                gamma=args.gamma)
+                                gamma=args.gamma, tf_nodes=tf_nodes,
+                                tf_max=args.tf_max_density)
         img = np.asarray(img)
         save_image(os.path.join(out_dir, f"frame_{t:04d}.png"), img)
         frames.append(img)

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_type", choices=["poisson", "stratified"],
                    default="poisson")
     p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--transfer_fn", default=None,
+                   help="density->RGB transfer function for colored "
+                        "rendering: builtin colormap (fire, ice, viridis,"
+                        " gray) or gradient-image path")
+    p.add_argument("--tf_max_density", type=float, default=2.0)
     # loss (reference --style_target, --style_layer, --w_style,
     # --content_layer, --content_channel, --w_content)
     p.add_argument("--style_target", default=None,
@@ -136,7 +141,8 @@ def config_from_args(args) -> StyleConfig:
             transmit=args.transmit, render_size=tuple(args.render_size),
             n_views=args.n_views, theta0=args.theta0, theta1=args.theta1,
             phi0=args.phi0, phi1=args.phi1, sample_type=args.sample_type,
-            gamma=args.gamma),
+            gamma=args.gamma, transfer_fn=args.transfer_fn,
+            tf_max_density=args.tf_max_density),
         loss=LossConfig(
             style_target=args.style_target, style_layers=layers,
             style_layer_weights=lw, w_style=args.w_style,

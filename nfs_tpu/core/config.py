@@ -69,6 +69,14 @@ class RenderConfig:
     scale_with_octave: bool = True
     # floor for the scaled render size
     min_render_size: int = 64
+    # density -> RGB transfer function for colored smoke rendering:
+    # builtin colormap name ('fire', 'ice', 'viridis', 'gray'), a path to
+    # a gradient image, or None = grayscale tiled to RGB (the reference's
+    # behavior). Widens the grid path to color styles — the colored
+    # renders feed the same VGG Gram losses (nfs_tpu/render/transfer.py).
+    transfer_fn: Optional[str] = None
+    # density mapped to the TF's last control point (higher clamps)
+    tf_max_density: float = 2.0
 
 
 @dataclass(frozen=True)
@@ -174,13 +182,16 @@ class ParticleConfig:
     keyframe_stride: int = 10
     # clamp on position offsets (cells)
     max_offset: float = 4.0
-    # splat implementation: 'binned' = dense (cells, K) shift-window
-    # (ops/binsplat.py, 3.6-5.4x faster fwd+bwd on v5e, bspline/support=1
-    # only) | 'binned_pallas' = binned layout with the fused Pallas VMEM
-    # window kernels (ops/pallas_binsplat.py; 3D single-channel attrs —
-    # color/2D fall back to the XLA binned window) | 'flat' = one flat
-    # XLA scatter (ops/splat.py, any kernel)
-    splat_impl: str = "binned"
+    # splat implementation: 'auto' = 'binned_pallas' on TPU, 'binned'
+    # elsewhere (resolved at trace time) | 'binned' = dense (cells, K)
+    # XLA shift-window (ops/binsplat.py, 3.6-5.4x faster fwd+bwd on v5e
+    # than flat, bspline/support=1 only) | 'binned_pallas' = binned
+    # layout with the fused Pallas VMEM window kernels
+    # (ops/pallas_binsplat.py; 13.7x over the XLA binned fwd+bwd on v5e
+    # at 200k particles -> 96^3; 3D single-channel attrs — color/2D fall
+    # back to the XLA binned window) | 'flat' = one flat XLA scatter
+    # (ops/splat.py, any kernel)
+    splat_impl: str = "auto"
     # iterations between re-binnings (position drift between rebins
     # truncates O(drift^2) kernel mass at the bin-support edge)
     rebin_every: int = 10

@@ -2,11 +2,16 @@
 
 The XLA formulation (``ops/binsplat.splat_binned``) is already
 gather/scatter-free, but each of its 27 (3D) taps is a separate
-HBM-traffic elementwise op over the (K, cells) bin arrays — measured
-6.7 ms fwd+bwd for 200k particles -> 96x64x96 with K~8 on v5e, ~20x off
-memory-bound. These kernels hold a z-slab of the bin arrays in VMEM and
-evaluate ALL taps on-chip: one HBM read per element of (attr, frac_z/y/x)
-and one write of the output grid / gradient arrays.
+HBM-traffic elementwise op over the (K, cells) bin arrays. Measured on
+v5e (200k particles -> 96x64x96, K=6): 72 ms standalone fwd+bwd for the
+XLA window vs 5.5-5.9 ms for these kernels (~13x); when XLA fuses the
+window into a larger loss program its cost drops to ~7.7 ms, so the
+in-styler win is smaller but still real. These kernels hold a z-slab of
+the bin arrays in VMEM and evaluate ALL taps on-chip: one HBM read per
+element of (attr, frac_z/y/x) and one write of the output grid /
+gradient arrays. Both kernels iterate bins via the inner grid dim
+(scoped VMEM stays K-independent — full-K variants OOM'd the 16 MB
+stack at the styler's coarse-octave K).
 
 Layout (matches ops/binsplat.py): bin arrays are (K, Z, Y, X) with
 Z,Y,X = padded_shape(shape) (PAD=2 per side), x minor. Kernels follow the
@@ -69,15 +74,24 @@ def _dw1d(u):
 
 
 def _fwd_kernel(a_ref, fz_ref, fy_ref, fx_ref, out_ref,
-                a_s, fz_s, fy_s, fx_s, sems, *, K: int, tz: int):
-    """One z-slab of out: slabs hold bin rows [z0, z0 + tz + 2) of the
-    FRONT-padded (by 2) arrays; out row z sums bins z + (2 - oz)."""
+                a_s, fz_s, fy_s, fx_s, sems, *, tz: int):
+    """One (z-slab, bin) step of out: slabs hold rows [z0, z0 + tz + 2)
+    of bin k of the FRONT-padded (by 2) arrays; out row z sums bins
+    z + (2 - oz).
+
+    Grid = (z-slabs, K): scratch holds a single bin's slab, so scoped
+    VMEM no longer scales with K (the full-K variant OOM'd the 16 MB
+    stack at K=8 even at tz=1). k is the INNER grid dim and the out
+    block index ignores k, so Mosaic keeps the out block resident in
+    VMEM across k and writes it back once per z-slab; contributions
+    accumulate in place (init at k == 0)."""
     i = pl.program_id(0)
+    k = pl.program_id(1)
     cps = []
     for ref, s, j in ((a_ref, a_s, 0), (fz_ref, fz_s, 1),
                       (fy_ref, fy_s, 2), (fx_ref, fx_s, 3)):
         cp = pltpu.make_async_copy(
-            ref.at[:, pl.ds(i * tz, tz + 2)], s, sems.at[j])
+            ref.at[k, pl.ds(i * tz, tz + 2)], s, sems.at[j])
         cp.start()
         cps.append(cp)
     for cp in cps:
@@ -85,14 +99,12 @@ def _fwd_kernel(a_ref, fz_ref, fy_ref, fx_ref, out_ref,
 
     _, h, w = out_ref.shape
 
-    def body(j, acc):
-        k = j // 3
-        oz = j % 3
+    def body(oz, acc):
         zsl = pl.ds(2 - oz, tz)
-        a_z = a_s[k, zsl, :, :]
-        wz = _w1d(oz.astype(jnp.float32) - fz_s[k, zsl, :, :])
-        fy_z = fy_s[k, zsl, :, :]
-        fx_z = fx_s[k, zsl, :, :]
+        a_z = a_s[zsl, :, :]
+        wz = _w1d(oz.astype(jnp.float32) - fz_s[zsl, :, :])
+        fy_z = fy_s[zsl, :, :]
+        fx_z = fx_s[zsl, :, :]
         wys = [_w1d(jnp.float32(oy) - fy_z) for oy in range(3)]
         wxs = [_w1d(jnp.float32(ox) - fx_z) for ox in range(3)]
         za = wz * a_z
@@ -104,8 +116,14 @@ def _fwd_kernel(a_ref, fz_ref, fy_ref, fx_ref, out_ref,
                              * wxs[ox][:, ys, xs])
         return acc
 
-    out_ref[:] = jax.lax.fori_loop(
-        0, 3 * K, body, jnp.zeros(out_ref.shape, jnp.float32))
+    contrib = jax.lax.fori_loop(
+        0, 3, body, jnp.zeros(out_ref.shape, jnp.float32))
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    out_ref[:] += contrib
 
 
 def _fwd_pallas(a, fz, fy, fx, *, K: int, tz: int, interpret: bool):
@@ -129,13 +147,13 @@ def _fwd_pallas(a, fz, fy, fx, *, K: int, tz: int, interpret: bool):
                      for f in (fz, fy, fx))
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, K=K, tz=tz),
-        grid=(Zo // tz,),
+        functools.partial(_fwd_kernel, tz=tz),
+        grid=(Zo // tz, K),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec((tz, Yo, Xo), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tz, Yo, Xo), lambda i, k: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Zo, Yo, Xo), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((K, tz + 2, Ys, Xs), jnp.float32)] * 4
+        scratch_shapes=[pltpu.VMEM((tz + 2, Ys, Xs), jnp.float32)] * 4
         + [pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
     )(ap, fzp, fyp, fxp)
@@ -149,44 +167,50 @@ def _fwd_pallas(a, fz, fy, fx, *, K: int, tz: int, interpret: bool):
 
 def _bwd_kernel(a_ref, fz_ref, fy_ref, fx_ref, g_ref,
                 da_ref, dfz_ref, dfy_ref, dfx_ref,
-                g_s, sem, *, K: int, tz: int):
+                g_s, sem, *, tz: int):
     """Gradients at bin location b: weights/attr read unshifted, the
     output cotangent g read at b + off (g END-padded by 2; its slab is
-    rows [z0, z0 + tz + 2))."""
+    rows [z0, z0 + tz + 2)).
+
+    Grid = (z-slabs, K): per-K bin blocks keep scoped VMEM small (the
+    full-K variant OOM'd the 16 MB scoped-vmem stack on v5e at K=6 —
+    blocks double-buffer). k is the INNER grid dim, so the g slab is
+    DMA'd once per z-slab (k == 0) and persists for k = 1..K-1."""
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(g_ref.at[pl.ds(i * tz, tz + 2)], g_s, sem)
-    cp.start()
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _copy_g():
+        cp = pltpu.make_async_copy(
+            g_ref.at[pl.ds(i * tz, tz + 2)], g_s, sem)
+        cp.start()
+        cp.wait()
+
     _, _, h, w = da_ref.shape
-    cp.wait()
-
-    def body(k, _):
-        a_k = a_ref[k]
-        fz = fz_ref[k]
-        fy = fy_ref[k]
-        fx = fx_ref[k]
-        wz = [_w1d(jnp.float32(o) - fz) for o in range(3)]
-        dz = [-_dw1d(jnp.float32(o) - fz) for o in range(3)]
-        wy = [_w1d(jnp.float32(o) - fy) for o in range(3)]
-        dy = [-_dw1d(jnp.float32(o) - fy) for o in range(3)]
-        wx = [_w1d(jnp.float32(o) - fx) for o in range(3)]
-        dx = [-_dw1d(jnp.float32(o) - fx) for o in range(3)]
-        zero = jnp.zeros((tz, h, w), jnp.float32)
-        da, az, ay, ax = zero, zero, zero, zero
-        for oz in range(3):
-            for oy in range(3):
-                for ox in range(3):
-                    gsub = g_s[pl.ds(oz, tz), oy:oy + h, ox:ox + w]
-                    da = da + wz[oz] * wy[oy] * wx[ox] * gsub
-                    az = az + dz[oz] * wy[oy] * wx[ox] * gsub
-                    ay = ay + wz[oz] * dy[oy] * wx[ox] * gsub
-                    ax = ax + wz[oz] * wy[oy] * dx[ox] * gsub
-        da_ref[k] = da
-        dfz_ref[k] = az * a_k
-        dfy_ref[k] = ay * a_k
-        dfx_ref[k] = ax * a_k
-        return 0
-
-    jax.lax.fori_loop(0, K, body, 0)
+    a_k = a_ref[0]
+    fz = fz_ref[0]
+    fy = fy_ref[0]
+    fx = fx_ref[0]
+    wz = [_w1d(jnp.float32(o) - fz) for o in range(3)]
+    dz = [-_dw1d(jnp.float32(o) - fz) for o in range(3)]
+    wy = [_w1d(jnp.float32(o) - fy) for o in range(3)]
+    dy = [-_dw1d(jnp.float32(o) - fy) for o in range(3)]
+    wx = [_w1d(jnp.float32(o) - fx) for o in range(3)]
+    dx = [-_dw1d(jnp.float32(o) - fx) for o in range(3)]
+    zero = jnp.zeros((tz, h, w), jnp.float32)
+    da, az, ay, ax = zero, zero, zero, zero
+    for oz in range(3):
+        for oy in range(3):
+            for ox in range(3):
+                gsub = g_s[pl.ds(oz, tz), oy:oy + h, ox:ox + w]
+                da = da + wz[oz] * wy[oy] * wx[ox] * gsub
+                az = az + dz[oz] * wy[oy] * wx[ox] * gsub
+                ay = ay + wz[oz] * dy[oy] * wx[ox] * gsub
+                ax = ax + wz[oz] * wy[oy] * dx[ox] * gsub
+    da_ref[0] = da
+    dfz_ref[0] = az * a_k
+    dfy_ref[0] = ay * a_k
+    dfx_ref[0] = ax * a_k
 
 
 def _bwd_pallas(a, fz, fy, fx, g, *, K: int, tz: int, interpret: bool):
@@ -208,11 +232,11 @@ def _bwd_pallas(a, fz, fy, fx, g, *, K: int, tz: int, interpret: bool):
     gp = jnp.pad(g.astype(jnp.float32),
                  [(0, Zo + 2 - Z), (0, Ysg - Y), (0, Xsg - X)])
 
-    bin_block = pl.BlockSpec((K, tz, Yb, Xb), lambda i: (0, i, 0, 0),
+    bin_block = pl.BlockSpec((1, tz, Yb, Xb), lambda i, k: (k, i, 0, 0),
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K, tz=tz),
-        grid=(Zo // tz,),
+        functools.partial(_bwd_kernel, tz=tz),
+        grid=(Zo // tz, K),
         in_specs=[bin_block] * 4 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(bin_block,) * 4,
         out_shape=tuple(jax.ShapeDtypeStruct((K, Zo, Yb, Xb), jnp.float32)
@@ -247,13 +271,19 @@ def _window_bwd(K, tz, interpret, res, g):
 _window_pallas.defvjp(_window_fwd, _window_bwd)
 
 
-def _pick_tz(K: int, Y: int, X: int, budget_mb: float = 8.0) -> int:
-    """Largest slab depth whose forward VMEM scratch (4 halo'd (K, tz+2,
-    Ys, Xs) f32 buffers) stays under `budget_mb`."""
+def _pick_tz(Y: int, X: int, budget_mb: float = 8.0) -> int:
+    """Largest slab depth keeping scoped VMEM under `budget_mb` for both
+    kernels (per-bin grids, so K does not enter): forward = 4 halo'd
+    (tz+2, Ys, Xs) f32 scratch slabs + the double-buffered out block;
+    backward = one g slab + 8 double-buffered (1, tz, Yb, Xb) blocks."""
     Ys = _round_up(Y + 4, 8)
     Xs = _round_up(X + 4, 128)
+    Yb = _round_up(Y, 8)
+    Xb = _round_up(X, 128)
     for tz in (8, 4, 2, 1):
-        if 4 * K * (tz + 2) * Ys * Xs * 4 <= budget_mb * 1e6:
+        fwd = (4 * (tz + 2) * Ys * Xs + 2 * tz * Yb * Xb) * 4
+        bwd = ((tz + 2) * Ys * Xs + 8 * 2 * tz * Yb * Xb) * 4
+        if max(fwd, bwd) <= budget_mb * 1e6:
             return tz
     return 1
 
@@ -285,7 +315,7 @@ def splat_binned_pallas(p_b: jax.Array, attr_b: jax.Array,
         fracs.append(p_b[d, :n_slots].reshape((K,) + pshape)
                      + jnp.float32(PAD) - coord)
 
-    tz = _pick_tz(K, pshape[1], pshape[2])
+    tz = _pick_tz(pshape[1], pshape[2])
     out = _window_pallas(a, fracs[0], fracs[1], fracs[2], K, tz, interpret)
     return out[PAD:PAD + shape[0], PAD:PAD + shape[1],
                PAD:PAD + shape[2]]

@@ -7,6 +7,11 @@ from nfs_tpu.render.camera import (
     poisson_view_pool,
     sample_views_stratified,
 )
+from nfs_tpu.render.transfer import (
+    COLORMAPS,
+    resolve_transfer,
+    transfer_colors,
+)
 
 __all__ = [
     "render_volume",
@@ -15,4 +20,7 @@ __all__ = [
     "poisson_disk_2d",
     "poisson_view_pool",
     "sample_views_stratified",
+    "COLORMAPS",
+    "resolve_transfer",
+    "transfer_colors",
 ]

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from nfs_tpu.ops.rotate import rotate3d
 from nfs_tpu.ops.shear import rotate3d_shear
+from nfs_tpu.render.transfer import transfer_colors
 
 
 def _exclusive_cumsum(x: jax.Array, axis: int) -> jax.Array:
@@ -74,44 +75,63 @@ def raymarch(rho: jax.Array, transmit: float = 0.01, axis: int = 0,
     return img
 
 
-@partial(jax.jit, static_argnames=("out_size", "gamma", "method"))
+@partial(jax.jit,
+         static_argnames=("out_size", "gamma", "method", "tf_max"))
 def render_volume(d: jax.Array, theta: jax.Array, phi: jax.Array,
                   transmit: float = 0.01,
                   out_size: Optional[Tuple[int, int]] = None,
                   gamma: float = 1.0,
-                  method: str = "shear") -> jax.Array:
+                  method: str = "shear",
+                  tf_nodes: Optional[jax.Array] = None,
+                  tf_max: float = 1.0) -> jax.Array:
     """Render one view of a (D, H, W) volume: rotate then raymarch along z.
 
-    theta/phi in radians (azimuth about y, elevation about x).
+    theta/phi in radians (azimuth about y, elevation about x). With
+    `tf_nodes` (N, 3), density is mapped through the transfer function
+    POST-rotation (one single-channel rotation, then colored
+    compositing) and the output is (H, W, 3); otherwise (H, W) gray.
     """
     rot = _rotate(d, theta, phi, method)
-    img = raymarch(rot, transmit=transmit, axis=0, out_size=out_size)
+    color = (None if tf_nodes is None
+             else transfer_colors(rot, tf_nodes, tf_max))
+    img = raymarch(rot, transmit=transmit, axis=0, out_size=out_size,
+                   color=color)
     if gamma != 1.0:
         img = jnp.power(jnp.maximum(img, 1e-6), 1.0 / gamma)
     return img
 
 
-@partial(jax.jit, static_argnames=("out_size", "gamma", "method"))
+@partial(jax.jit,
+         static_argnames=("out_size", "gamma", "method", "tf_max"))
 def render_views(d: jax.Array, thetas: jax.Array, phis: jax.Array,
                  transmit: float = 0.01,
                  out_size: Optional[Tuple[int, int]] = None,
                  gamma: float = 1.0,
-                 method: str = "shear") -> jax.Array:
-    """Render a batch of views -> (V, H, W, 3) RGB (grayscale tiled to 3
-    channels for the CNN, as the reference does — SURVEY.md §3.2)."""
+                 method: str = "shear",
+                 tf_nodes: Optional[jax.Array] = None,
+                 tf_max: float = 1.0) -> jax.Array:
+    """Render a batch of views -> (V, H, W, 3) RGB. Grayscale is tiled to
+    3 channels for the CNN, as the reference does (SURVEY.md §3.2);
+    with a transfer function the channels carry real color."""
     imgs = jax.vmap(
         lambda t, p: render_volume(d, t, p, transmit=transmit,
                                    out_size=out_size, gamma=gamma,
-                                   method=method)
+                                   method=method, tf_nodes=tf_nodes,
+                                   tf_max=tf_max)
     )(thetas, phis)
+    if tf_nodes is not None:
+        return imgs
     return jnp.repeat(imgs[..., None], 3, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("out_size", "gamma", "compress"))
+@partial(jax.jit,
+         static_argnames=("out_size", "gamma", "compress", "tf_max"))
 def render2d(d: jax.Array, out_size: Optional[Tuple[int, int]] = None,
              gamma: float = 1.0,
              color: Optional[jax.Array] = None,
-             compress: str = "soft") -> jax.Array:
+             compress: str = "soft",
+             tf_nodes: Optional[jax.Array] = None,
+             tf_max: float = 1.0) -> jax.Array:
     """2D grid -> (H, W, 3) image; an optional (H, W, 3) color field is
     modulated by the density.
 
@@ -123,7 +143,11 @@ def render2d(d: jax.Array, out_size: Optional[Tuple[int, int]] = None,
         stalled there, VERDICT r1 weak #7).
       'clip': hard clip to [0, 1] (the reference's direct-grid-image 2D
         path).
+    tf_nodes: optional (N, 3) transfer function mapping DENSITY to color
+      (mutually exclusive with an explicit color field).
     """
+    if tf_nodes is not None:
+        color = transfer_colors(d, tf_nodes, tf_max)
     if compress == "soft":
         img = 1.0 - jnp.exp(-jnp.maximum(d, 0.0))
     else:

@@ -124,6 +124,14 @@ class GridStyler:
                 self.vgg_params, jnp.asarray(content_image)[None],
                 (lc.content_layer,), pool=lc.pool)
 
+        # optional density -> RGB transfer function (colored smoke;
+        # nfs_tpu/render/transfer.py). Resolved once; constant across
+        # frames, so it is closed over by the cached loss closures.
+        self.tf_nodes = None
+        if rc.transfer_fn:
+            from nfs_tpu.render.transfer import resolve_transfer
+            self.tf_nodes = jnp.asarray(resolve_transfer(rc.transfer_fn))
+
         # Poisson-disk camera pool, device-resident (SURVEY.md §7 design
         # stance: host Bridson -> device pool indexed inside jit).
         if rc.sample_type == "poisson":
@@ -157,12 +165,15 @@ class GridStyler:
         rc = self.cfg.render
         render_size = render_size or rc.render_size
         if d_star.ndim == 2:
-            return render2d(d_star, out_size=render_size,
-                            gamma=rc.gamma)[None]
+            return render2d(d_star, out_size=render_size, gamma=rc.gamma,
+                            tf_nodes=self.tf_nodes,
+                            tf_max=rc.tf_max_density)[None]
         views = self._sample_views(key, pool)
         return render_views(d_star, views[:, 0], views[:, 1],
                             transmit=rc.transmit, out_size=render_size,
-                            gamma=rc.gamma, method=rc.rotation)
+                            gamma=rc.gamma, method=rc.rotation,
+                            tf_nodes=self.tf_nodes,
+                            tf_max=rc.tf_max_density)
 
     def _render_loss(self, d_star, key, pool, render_size, data):
         """Render views of d_star and evaluate the image loss; with
@@ -181,9 +192,11 @@ class GridStyler:
         def one_view(v):
             img = render_volume(d_star, v[0], v[1], transmit=rc.transmit,
                                 out_size=render_size, gamma=rc.gamma,
-                                method=rc.rotation)
-            img = jnp.repeat(img[None, ..., None], 3, axis=-1)
-            return self._image_loss(img, data)
+                                method=rc.rotation, tf_nodes=self.tf_nodes,
+                                tf_max=rc.tf_max_density)
+            if self.tf_nodes is None:
+                img = jnp.repeat(img[..., None], 3, axis=-1)
+            return self._image_loss(img[None], data)
 
         losses = jax.lax.map(jax.checkpoint(one_view), views)
         return jnp.mean(losses)

@@ -134,6 +134,14 @@ class ParticleStyler:
                 self.vgg_params, jnp.asarray(style_image),
                 lc.style_layers, pool=lc.pool)
 
+        # optional density -> RGB transfer function (colored rendering;
+        # nfs_tpu/render/transfer.py). Per-particle color attributes take
+        # precedence when optimize_color is on.
+        self.tf_nodes = None
+        if rc.transfer_fn:
+            from nfs_tpu.render.transfer import resolve_transfer
+            self.tf_nodes = jnp.asarray(resolve_transfer(rc.transfer_fn))
+
         if rc.sample_type == "poisson" and len(self.grid_shape) == 3:
             self.view_pool = jnp.asarray(poisson_view_pool(
                 rc.view_pool, rc.n_views, (rc.theta0, rc.theta1),
@@ -204,9 +212,11 @@ class ParticleStyler:
     def _render(self, d_grid, c_grid, key, pool, render_size=None):
         rc = self.cfg.render
         render_size = render_size or rc.render_size
+        tf = self.tf_nodes if c_grid is None else None
         if d_grid.ndim == 2:
             return render2d(d_grid, out_size=render_size, gamma=rc.gamma,
-                            color=c_grid)[None]
+                            color=c_grid, tf_nodes=tf,
+                            tf_max=rc.tf_max_density)[None]
         if pool is not None:
             idx = jax.random.randint(key, (), 0, pool.shape[0])
             views = pool[idx]
@@ -217,7 +227,8 @@ class ParticleStyler:
             return render_views(d_grid, views[:, 0], views[:, 1],
                                 transmit=rc.transmit,
                                 out_size=render_size, gamma=rc.gamma,
-                                method=rc.rotation)
+                                method=rc.rotation, tf_nodes=tf,
+                                tf_max=rc.tf_max_density)
         # color volume: rotate density and color together per view
         from nfs_tpu.render.raymarch import _rotate
 
@@ -279,7 +290,11 @@ class ParticleStyler:
         sig = ("binned", pc.splat_impl, shape, round(scale, 6), K, rsize)
         if sig in self._loss_cache:
             return self._loss_cache[sig]
-        use_pallas = pc.splat_impl == "binned_pallas" and len(shape) == 3
+        impl = pc.splat_impl
+        if impl == "auto":  # fused Pallas kernels on TPU, XLA elsewhere
+            impl = ("binned_pallas" if jax.default_backend() == "tpu"
+                    else "binned")
+        use_pallas = impl == "binned_pallas" and len(shape) == 3
 
         def _splat(pb, attr, valid):
             # fused Pallas VMEM window for the 3D single-channel case
@@ -332,7 +347,7 @@ class ParticleStyler:
         None when the binned path shouldn't be used at all; per-octave
         entries are None where the slot budget is blown."""
         pc = self.cfg.particle
-        if (pc.splat_impl not in ("binned", "binned_pallas")
+        if (pc.splat_impl not in ("auto", "binned", "binned_pallas")
                 or pc.kernel != "bspline" or pc.support != 1.0):
             return None
         p = x + dx if dx is not None else x
@@ -512,19 +527,70 @@ class ParticleStyler:
             self.last_keyframe_infos[kf] = kf_info
             prev = jax.tree.map(jnp.copy, p)
 
-        for t in range(T):
-            k0 = max(k for k in keyframes if k <= t)
-            k1 = min(k for k in keyframes if k >= t)
-            if k0 == k1:
-                p = params[k0]
-            else:
-                a = (t - k0) / (k1 - k0)
-                p = jax.tree.map(lambda u, v: (1 - a) * u + a * v,
-                                 params[k0], params[k1])
-            yield t, self.apply_param(psets[t], p)
+        # Segment-batched interpolation: ONE jitted dispatch per keyframe
+        # segment. The per-frame eager lerp + apply was ~8 remote
+        # dispatches/frame on the axon tunnel (~0.14 s/frame, larger than
+        # the amortized keyframe optimization itself at stride 10);
+        # batching moved the whole tail off the sequence's critical path.
+        pc = self.cfg.particle
+        if len(keyframes) == 1:
+            yield 0, self.apply_param(psets[0], params[keyframes[0]])
+            return
+        for k0, k1 in zip(keyframes[:-1], keyframes[1:]):
+            last = k1 == keyframes[-1]
+            ts = list(range(k0, k1 + 1 if last else k1))
+            alphas = jnp.asarray([(t - k0) / (k1 - k0) for t in ts],
+                                 jnp.float32)
+            x = jnp.stack([jnp.asarray(psets[t].x, jnp.float32)
+                           for t in ts])
+            n = x.shape[1]
+            dens = jnp.stack([
+                (jnp.asarray(psets[t].dens, jnp.float32)
+                 if psets[t].dens is not None
+                 else jnp.ones((n,), jnp.float32)) for t in ts])
+            xo, do, co = _interp_apply_segment(
+                params[k0], params[k1], alphas, x, dens,
+                float(pc.max_offset))
+            for i, t in enumerate(ts):
+                color = co[i] if co is not None else psets[t].color
+                yield t, ParticleSet(x=xo[i], dens=do[i], color=color,
+                                     vel=psets[t].vel)
 
 
 def interpolate_attrs(param0: Dict, param1: Dict, alpha: float) -> Dict:
     """Linear keyframe interpolation of per-particle attribute dicts."""
     return jax.tree.map(lambda a, b: (1 - alpha) * a + alpha * b,
                         param0, param1)
+
+
+@partial(jax.jit, static_argnames=("max_offset",))
+def _interp_apply_segment(p0: Dict, p1: Dict, alphas: jax.Array,
+                          x: jax.Array, dens: jax.Array,
+                          max_offset: float):
+    """Fused keyframe-segment interpolation + attribute application.
+
+    Lerps the two keyframe param dicts at every alpha and applies the
+    result to the segment's stacked particle states in one XLA program
+    (semantics identical to per-frame ``interpolate_attrs`` +
+    ``ParticleStyler.apply_param``).
+
+    Args:
+      p0/p1: keyframe param dicts of (n, ...) arrays.
+      alphas: (m,) interpolation weights for the segment's frames.
+      x: (m, n, 3) per-frame particle positions.
+      dens: (m, n) per-frame particle densities.
+
+    Returns:
+      (x*, dens*, color*) stacked over the segment; color* is None when
+      the params carry no color attribute.
+    """
+    def lerp(u, v):
+        a = alphas.reshape((-1,) + (1,) * u.ndim)
+        return (1.0 - a) * u[None] + a * v[None]
+
+    p = jax.tree.map(lerp, p0, p1)
+    if "dx" in p:
+        x = x + max_offset * jnp.tanh(p["dx"] / max_offset)
+    if "ddens" in p:
+        dens = dens * jnp.exp(p["ddens"])
+    return x, dens, p.get("color")

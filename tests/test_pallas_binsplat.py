@@ -38,6 +38,34 @@ def test_forward_matches_binned(shape):
                                atol=5e-6)
 
 
+def test_large_k_multi_slab():
+    # K=8 across several z-slabs: the config whose full-K kernels OOM'd
+    # scoped VMEM on v5e — exercises the per-bin grid accumulation in
+    # BOTH kernels (fwd out-block revisiting, bwd per-k blocks)
+    shape = (20, 8, 12)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((4000, 3)) * (np.array(shape) - 1),
+                    jnp.float32)
+    attr = jnp.asarray(rng.random((4000,)), jnp.float32)
+    K = 8
+    bn = B.bin_particles(x, shape, K)
+    p_b, a_b = B.to_binned(bn, x), B.to_binned(bn, attr)
+    h = jnp.asarray(rng.random(shape), jnp.float32)
+
+    def loss(splat, p, a):
+        return jnp.vdot(splat(p, a, bn.valid, shape, K), h)
+
+    l_p, (gp_p, ga_p) = jax.value_and_grad(
+        lambda p, a: loss(splat_binned_pallas, p, a), (0, 1))(p_b, a_b)
+    l_x, (gp_x, ga_x) = jax.value_and_grad(
+        lambda p, a: loss(B.splat_binned, p, a), (0, 1))(p_b, a_b)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_x),
+                               atol=1e-5)
+
+
 def test_forward_with_drift_and_overflow():
     # drifted positions + a crowded cluster that overflows K: parked
     # particles must be excluded identically in both impls

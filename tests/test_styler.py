@@ -261,6 +261,42 @@ class TestParticleStyler:
         for _, styled in out:
             assert styled.x.shape == (300, 2)
 
+    def test_segment_interp_matches_per_frame(self):
+        # the fused segment dispatch (_interp_apply_segment, one XLA
+        # program per keyframe segment) must match the per-frame
+        # reference semantics: interpolate_attrs + apply_param
+        from nfs_tpu.styler.particle import (
+            _interp_apply_segment,
+            interpolate_attrs,
+        )
+
+        cfg = tiny_cfg(**{"particle.max_offset": 2.5})
+        styler = ParticleStyler(cfg, grid_shape=(32, 32),
+                                style_image=style_img())
+        psets = [self._pset2d(seed=s) for s in range(3)]
+        rng = np.random.default_rng(11)
+        n = psets[0].x.shape[0]
+        p0 = {"dx": jnp.asarray(rng.normal(size=(n, 2)), jnp.float32),
+              "ddens": jnp.asarray(rng.normal(size=(n,)) * 0.1,
+                                   jnp.float32)}
+        p1 = {"dx": jnp.asarray(rng.normal(size=(n, 2)), jnp.float32),
+              "ddens": jnp.asarray(rng.normal(size=(n,)) * 0.1,
+                                   jnp.float32)}
+        alphas = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
+        x = jnp.stack([jnp.asarray(p.x, jnp.float32) for p in psets])
+        dens = jnp.stack([jnp.asarray(p.dens, jnp.float32)
+                          for p in psets])
+        xo, do, co = _interp_apply_segment(
+            p0, p1, alphas, x, dens, float(cfg.particle.max_offset))
+        assert co is None
+        for i, a in enumerate([0.0, 0.5, 1.0]):
+            ref = styler.apply_param(psets[i],
+                                     interpolate_attrs(p0, p1, a))
+            np.testing.assert_allclose(np.asarray(xo[i]),
+                                       np.asarray(ref.x), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(do[i]),
+                                       np.asarray(ref.dens), atol=1e-6)
+
     def test_rasterize(self):
         cfg = tiny_cfg()
         styler = ParticleStyler(cfg, grid_shape=(32, 32),
