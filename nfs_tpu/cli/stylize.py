@@ -195,13 +195,19 @@ def main(argv=None):
             f.write(json.dumps(kw) + "\n")
 
     def preview(frame, d_star):
+        from nfs_tpu.render.transfer import resolve_transfer
+        tf = resolve_transfer(cfg.render.transfer_fn)
+        tf = jnp.asarray(tf) if tf is not None else None
         d_star = jnp.asarray(d_star)
         if d_star.ndim == 2:
-            img = render2d(d_star, out_size=cfg.render.render_size)
+            img = render2d(d_star, out_size=cfg.render.render_size,
+                           tf_nodes=tf, tf_max=cfg.render.tf_max_density)
         else:
             img = render_volume(d_star, jnp.float32(0), jnp.float32(0),
                                 transmit=cfg.render.transmit,
-                                out_size=cfg.render.render_size)
+                                out_size=cfg.render.render_size,
+                                tf_nodes=tf,
+                                tf_max=cfg.render.tf_max_density)
         save_image(os.path.join(out_dir, f"preview_{frame:04d}.png"),
                    np.asarray(img))
 
@@ -340,15 +346,25 @@ def main(argv=None):
         grid_shape = (tuple(args.grid_shape) if args.grid_shape
                       else (128,) * ndim)
         styler = ParticleStyler(cfg, grid_shape=grid_shape)
+        if args.parallel and len(frames) > 1:
+            from nfs_tpu.parallel.mesh import make_mesh
+            from nfs_tpu.parallel.particles import ParallelKeyframeStyler
+
+            mesh = (make_mesh(cfg.parallel.frames)
+                    if cfg.parallel.frames > 1 else None)
+            engine = ParallelKeyframeStyler(styler, mesh=mesh)
+        else:
+            engine = styler
         t0 = time.time()
-        for i, styled in styler.stylize_keyframes(psets):
+        for i, styled in engine.stylize_keyframes(psets):
             t = frames[i]
             out_store.save_particles(
                 t, x=np.asarray(styled.x), dens=np.asarray(styled.dens),
                 **({"color": np.asarray(styled.color)}
                    if styled.color is not None else {}))
             preview(t, styler.rasterize(styled))
-            kf_info = styler.last_keyframe_infos.get(i, {})
+            kf_info = getattr(engine, "last_keyframe_infos",
+                              {}).get(i, {})
             log_metric(frame=t, wall_s=time.time() - t0,
                        splat_overflow=kf_info.get("octave_overflow"))
             t0 = time.time()

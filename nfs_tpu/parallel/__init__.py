@@ -21,6 +21,7 @@ from nfs_tpu.parallel.sharding import (
 )
 from nfs_tpu.parallel.engine import ParallelSequenceStyler
 from nfs_tpu.parallel.multihost import initialize_multihost
+from nfs_tpu.parallel.particles import ParallelKeyframeStyler
 from nfs_tpu.parallel.spatial import (
     prepare_spatial,
     shard_volume_spatial,
@@ -34,6 +35,7 @@ __all__ = [
     "shard_volume",
     "make_sharded_window_step",
     "ParallelSequenceStyler",
+    "ParallelKeyframeStyler",
     "initialize_multihost",
     "prepare_spatial",
     "shard_volume_spatial",

@@ -59,16 +59,21 @@ class ParallelSequenceStyler:
         weights = (styler._window_weights(window) if window else None)
 
         def render_imgs(d_star, views_i):
+            # tf_nodes: keep the parallel path consistent with the
+            # single-device renderer (colored transfer functions)
             if d_star.ndim == 2:
                 from nfs_tpu.render.raymarch import render2d
                 return render2d(d_star, out_size=render_size,
-                                gamma=cfg.render.gamma)[None]
+                                gamma=cfg.render.gamma,
+                                tf_nodes=styler.tf_nodes,
+                                tf_max=cfg.render.tf_max_density)[None]
             from nfs_tpu.render.raymarch import render_views
             return render_views(
                 d_star, views_i[:, 0], views_i[:, 1],
                 transmit=cfg.render.transmit,
                 out_size=render_size, gamma=cfg.render.gamma,
-                method=cfg.render.rotation)
+                method=cfg.render.rotation, tf_nodes=styler.tf_nodes,
+                tf_max=cfg.render.tf_max_density)
 
         def loss_one_frame(param, d_i, vels_w, views_i, key_i, aux):
             # views_i: (nv_local, 3) — (theta, phi, weight). Weights carry

@@ -54,11 +54,8 @@ from nfs_tpu.render.raymarch import raymarch, render2d, render_views
 from nfs_tpu.styler.octave import run_octave
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "shape", "K",
-                                   "scale", "max_offset", "has_dx"),
-         donate_argnums=(0, 1))
-def _binned_chunk(param, opt_state, keys, data, loss_fn, optimizer,
-                  shape, K, scale, max_offset, has_dx):
+def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
+                       shape, K, scale, max_offset, has_dx):
     """One rebin + R optimizer iterations, all in a single dispatch.
 
     Bins at the chunk-start positions, permutes param AND Adam state into
@@ -103,6 +100,15 @@ def _binned_chunk(param, opt_state, keys, data, loss_fn, optimizer,
     (param_b, state_b), losses = jax.lax.scan(step, (param_b, state_b),
                                               keys)
     return _from_b(param_b), _from_b(state_b), losses, bn.n_overflow
+
+
+# the single-frame entry; parallel/particles.py vmaps the core over a
+# keyframe batch instead (one jit per engine, batch sharded over frames)
+_binned_chunk = jax.jit(
+    _binned_chunk_core,
+    static_argnames=("loss_fn", "optimizer", "shape", "K", "scale",
+                     "max_offset", "has_dx"),
+    donate_argnums=(0, 1))
 
 
 @partial(jax.jit, static_argnames=("shps", "base"))
@@ -509,12 +515,9 @@ class ParticleStyler:
 
         Yields (frame_index, stylized ParticleSet).
         """
-        stride = self.cfg.particle.keyframe_stride
         T = len(psets)
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
-        keyframes = list(range(0, T, stride))
-        if keyframes[-1] != T - 1:
-            keyframes.append(T - 1)
+        keyframes = keyframe_indices(T, self.cfg.particle.keyframe_stride)
 
         params = {}
         prev = None
@@ -527,40 +530,55 @@ class ParticleStyler:
             self.last_keyframe_infos[kf] = kf_info
             prev = jax.tree.map(jnp.copy, p)
 
-        # Segment-batched interpolation: ONE jitted dispatch per keyframe
-        # segment. The per-frame eager lerp + apply was ~8 remote
-        # dispatches/frame on the axon tunnel (~0.14 s/frame, larger than
-        # the amortized keyframe optimization itself at stride 10);
-        # batching moved the whole tail off the sequence's critical path.
-        pc = self.cfg.particle
-        if len(keyframes) == 1:
-            yield 0, self.apply_param(psets[0], params[keyframes[0]])
-            return
-        for k0, k1 in zip(keyframes[:-1], keyframes[1:]):
-            last = k1 == keyframes[-1]
-            ts = list(range(k0, k1 + 1 if last else k1))
-            alphas = jnp.asarray([(t - k0) / (k1 - k0) for t in ts],
-                                 jnp.float32)
-            x = jnp.stack([jnp.asarray(psets[t].x, jnp.float32)
-                           for t in ts])
-            n = x.shape[1]
-            dens = jnp.stack([
-                (jnp.asarray(psets[t].dens, jnp.float32)
-                 if psets[t].dens is not None
-                 else jnp.ones((n,), jnp.float32)) for t in ts])
-            xo, do, co = _interp_apply_segment(
-                params[k0], params[k1], alphas, x, dens,
-                float(pc.max_offset))
-            for i, t in enumerate(ts):
-                color = co[i] if co is not None else psets[t].color
-                yield t, ParticleSet(x=xo[i], dens=do[i], color=color,
-                                     vel=psets[t].vel)
+        yield from interp_sequence(psets, keyframes, params,
+                                   float(self.cfg.particle.max_offset),
+                                   apply_fn=self.apply_param)
 
 
 def interpolate_attrs(param0: Dict, param1: Dict, alpha: float) -> Dict:
     """Linear keyframe interpolation of per-particle attribute dicts."""
     return jax.tree.map(lambda a, b: (1 - alpha) * a + alpha * b,
                         param0, param1)
+
+
+def keyframe_indices(T: int, stride: int):
+    """Keyframe schedule: every `stride` frames plus the final frame."""
+    kfs = list(range(0, T, max(1, stride)))
+    if kfs[-1] != T - 1:
+        kfs.append(T - 1)
+    return kfs
+
+
+def interp_sequence(psets, keyframes, params, max_offset, apply_fn):
+    """Segment-batched keyframe interpolation: ONE jitted dispatch per
+    keyframe segment (LNST §5 attribute interpolation along particle
+    identity). The per-frame eager lerp + apply was ~8 remote dispatches
+    per frame on the axon tunnel (~0.14 s/frame — larger than the
+    amortized keyframe optimization itself at stride 10). Shared by the
+    single-device and keyframe-parallel engines.
+
+    Yields (t, stylized ParticleSet) for every frame index.
+    """
+    if len(keyframes) == 1:
+        yield 0, apply_fn(psets[0], params[keyframes[0]])
+        return
+    for k0, k1 in zip(keyframes[:-1], keyframes[1:]):
+        last = k1 == keyframes[-1]
+        ts = list(range(k0, k1 + 1 if last else k1))
+        alphas = jnp.asarray([(t - k0) / (k1 - k0) for t in ts],
+                             jnp.float32)
+        x = jnp.stack([jnp.asarray(psets[t].x, jnp.float32) for t in ts])
+        n = x.shape[1]
+        dens = jnp.stack([
+            (jnp.asarray(psets[t].dens, jnp.float32)
+             if psets[t].dens is not None
+             else jnp.ones((n,), jnp.float32)) for t in ts])
+        xo, do, co = _interp_apply_segment(
+            params[k0], params[k1], alphas, x, dens, max_offset)
+        for i, t in enumerate(ts):
+            color = co[i] if co is not None else psets[t].color
+            yield t, ParticleSet(x=xo[i], dens=do[i], color=color,
+                                 vel=psets[t].vel)
 
 
 @partial(jax.jit, static_argnames=("max_offset",))
