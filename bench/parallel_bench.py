@@ -108,6 +108,47 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # LNST keyframe-DP scaling: B keyframes batched over the frames mesh
+    # (parallel/particles.py) — same fixed workload, growing mesh
+    from nfs_tpu.core.pytrees import ParticleSet
+    from nfs_tpu.parallel.particles import ParallelKeyframeStyler
+    from nfs_tpu.styler.particle import ParticleStyler
+
+    pcfg = replace(cfg, **{"optim.window": 0,
+                           "particle.optimize_position": True,
+                           "particle.optimize_density": True,
+                           "particle.keyframe_stride": 1})
+    rng = np.random.default_rng(0)
+    n_p = 5000
+    px = rng.random((n_p, 3)).astype(np.float32) * (np.asarray(shape) - 2)
+    psets = [ParticleSet(x=jnp.asarray(px + 0.05 * t),
+                         dens=jnp.ones((n_p,), jnp.float32))
+             for t in range(T)]
+    lnst_rows = []
+    lnst_base = None
+    for f in (1, 2, 4, 8):
+        if f > n_dev:
+            continue
+        pst = ParticleStyler(pcfg, grid_shape=shape, style_image=style)
+        eng = ParallelKeyframeStyler(pst, mesh=make_mesh(frames=f))
+        key = jax.random.PRNGKey(0)
+        np.asarray(list(eng.stylize_keyframes(psets, key=key))[-1][1].x)
+        t0 = time.time()
+        outs = list(eng.stylize_keyframes(psets, key=key))
+        np.asarray(outs[-1][1].x)
+        wall = time.time() - t0
+        if f == 1:
+            lnst_base = wall
+        row = {
+            "mesh": {"frames": f},
+            "keyframes": T,
+            "wall_s": round(wall, 3),
+            "efficiency_vs_1dev": (round(lnst_base / (wall * f), 3)
+                                   if lnst_base else None),
+        }
+        lnst_rows.append(row)
+        print(json.dumps({"lnst_keyframe_dp": row}), flush=True)
+
     out = {
         "workload": {"frames": T, "shape": list(shape),
                      "iters_per_octave": args.iters,
@@ -119,6 +160,7 @@ def main():
                  "re-run without --cpu on real multi-chip hardware for "
                  "ICI numbers" if args.cpu else "real hardware"),
         "results": rows,
+        "lnst_keyframe_dp": lnst_rows,
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -135,7 +135,17 @@ class ParallelKeyframeStyler:
         # layout; K is the max over keyframes so one program serves all
         shapes = octave_shapes(styler.grid_shape, oc.octave_n,
                                oc.octave_scale)
-        per_kf_ks = [styler._octave_ks(x, None, shapes) for x in xs]
+        # batched K probe: one dispatch + one host sync for ALL keyframes
+        # (the per-keyframe probe costs a tunnel RTT each)
+        from nfs_tpu.styler.particle import _octave_max_counts
+        shp_t = tuple(tuple(s) for s in shapes)
+        kmax_b = np.asarray(jax.vmap(
+            lambda xx: _octave_max_counts(xx, shp_t,
+                                          float(styler.grid_shape[0])))(
+            jnp.stack(xs)))
+        per_kf_ks = [styler._octave_ks(xs[i], None, shapes,
+                                       kmaxes=kmax_b[i])
+                     for i in range(B)]
         if any(ks is None or any(k is None for k in ks)
                for ks in per_kf_ks):
             warnings.warn(

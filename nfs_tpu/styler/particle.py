@@ -346,7 +346,7 @@ class ParticleStyler:
         self._loss_cache[sig] = loss_fn
         return loss_fn
 
-    def _octave_ks(self, x, dx, shapes) -> Optional[list]:
+    def _octave_ks(self, x, dx, shapes, kmaxes=None) -> Optional[list]:
         """Static bin capacities K for every octave in ONE device dispatch
         and ONE host sync (syncs over a remote-TPU tunnel cost ~an RTT
         each — per-octave syncs dominated the binned path's win). Returns
@@ -356,10 +356,11 @@ class ParticleStyler:
         if (pc.splat_impl not in ("auto", "binned", "binned_pallas")
                 or pc.kernel != "bspline" or pc.support != 1.0):
             return None
-        p = x + dx if dx is not None else x
-        kmaxes = np.asarray(_octave_max_counts(
-            p, tuple(tuple(s) for s in shapes),
-            float(self.grid_shape[0])))
+        if kmaxes is None:
+            p = x + dx if dx is not None else x
+            kmaxes = np.asarray(_octave_max_counts(
+                p, tuple(tuple(s) for s in shapes),
+                float(self.grid_shape[0])))
         ks = []
         for kmax, shape in zip(kmaxes, shapes):
             # +1 headroom: within-chunk drift is <= ~lr*rebin_every cells

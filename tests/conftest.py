@@ -29,3 +29,25 @@ jax.config.update("jax_enable_x64", False)
 assert len(jax.devices()) >= 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()} — backend was "
     "initialized before conftest could override it")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _hang_guard():
+    """Per-test wall-clock guard: no single test may wedge the suite
+    (pytest-timeout isn't installed; a round-2 serve bug once hung
+    `pytest tests/` for >40 min). 1800 s is far above any legitimate
+    test even on a contended 1-core host."""
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("test exceeded the 1800 s suite hang guard")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(1800)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

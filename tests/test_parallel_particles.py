@@ -121,6 +121,26 @@ class TestParallelKeyframes:
                 assert ls.shape == (cfg.optim.iters,)
                 assert np.isfinite(np.asarray(ls)).all()
 
+    def test_2d_keyframes(self):
+        # 2D particle sets through the same engine (9-tap binned window)
+        cfg = _cfg(**{"optim.iters": 2, "optim.octave_n": 1})
+        shape2d = (24, 24)
+        rng = np.random.default_rng(9)
+        n = 200
+        x0 = rng.random((n, 2)) * (np.asarray(shape2d) - 4.0) + 2.0
+        psets = [ParticleSet(x=jnp.asarray(x0 + 0.2 * t, jnp.float32),
+                             dens=jnp.ones((n,), jnp.float32))
+                 for t in range(3)]
+        styler = ParticleStyler(cfg, grid_shape=shape2d,
+                                style_image=_style())
+        eng = ParallelKeyframeStyler(styler, mesh=make_mesh(frames=2))
+        outs = list(eng.stylize_keyframes(psets,
+                                          key=jax.random.PRNGKey(3)))
+        assert [t for t, _ in outs] == [0, 1, 2]
+        moved = max(float(jnp.abs(s.x - p.x).max())
+                    for (_, s), p in zip(outs, psets))
+        assert moved > 1e-6
+
     def test_non_binned_falls_back(self):
         cfg = _cfg(**{"particle.kernel": "linear",
                       "particle.support": 1.0, "optim.iters": 2,

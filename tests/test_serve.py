@@ -104,6 +104,26 @@ class TestServe:
         assert stats["jobs"] == 0
         assert stats["errors"] == 2
 
+    def test_transfer_fn_job(self, tmp_path):
+        # colored-smoke job: the transfer_fn config flows through the
+        # spool protocol into the styler's colored render path
+        data = str(tmp_path / "data")
+        spool = str(tmp_path / "spool")
+        style = str(tmp_path / "style.png")
+        _make_data(data)
+        _style_png(style)
+        job = _job(data, str(tmp_path / "outc"), style, frames=(0,))
+        job["config"]["render.transfer_fn"] = "fire"
+        job["config"]["render.tf_max_density"] = 1.5
+        submit_job(spool, job, name="color")
+        stats = serve(spool, poll_s=0.01, max_jobs=1)
+        assert stats["jobs"] == 1
+        with open(os.path.join(spool, "done", "color.json")) as f:
+            assert json.load(f)["status"] == "ok"
+        path = os.path.join(str(tmp_path / "outc"), "d_0000.npz")
+        with np.load(path) as z:
+            assert np.isfinite(z["d"]).all()
+
     def test_json_list_config_values_hashable(self, tmp_path):
         # JSON has no tuples: list-valued overrides (render_size, layer
         # lists) must be normalized to tuples so the frozen config stays
