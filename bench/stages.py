@@ -28,22 +28,28 @@ def _scalar(y):
     return jnp.mean(leaves[0].astype(jnp.float32))
 
 
-def honest_ms(fn, x0, n: int = 6):
+def honest_ms(fn, x0, n: int = 6, repeats: int = 3):
     """Steady-state latency of jitted `fn(x)` with data-dependent
-    chaining + terminal host read (tunnel-proof). Returns mean ms."""
+    chaining + terminal host read (tunnel-proof). Runs `repeats` passes
+    of `n` chained calls and returns the BEST pass's mean ms — the axon
+    tunnel adds multi-second load spikes (CLAUDE.md), and noise is
+    strictly additive, so min-of-passes is the honest hardware figure."""
     import jax.numpy as jnp
 
     y = fn(x0)                       # compile + warm
     float(_scalar(y))                # real sync (host read)
-    t0 = time.perf_counter()
-    x = x0
-    for _ in range(n):
-        y = fn(x)
-        # fold a negligible function of y into the next input: forces
-        # serialization without changing values measurably (eps*mean)
-        x = x0 + jnp.float32(1e-30) * _scalar(y)
-    float(_scalar(y))
-    return (time.perf_counter() - t0) / n * 1000.0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        x = x0
+        for _ in range(n):
+            y = fn(x)
+            # fold a negligible function of y into the next input: forces
+            # serialization without changing values measurably (eps*mean)
+            x = x0 + jnp.float32(1e-30) * _scalar(y)
+        float(_scalar(y))
+        best = min(best, (time.perf_counter() - t0) / n * 1000.0)
+    return best
 
 
 def stage_breakdown(styler, d, n: int = 6, key_seed: int = 0):
