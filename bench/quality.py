@@ -27,6 +27,9 @@ def main():
     p.add_argument("--shape", type=int, nargs=3, default=[48, 32, 48])
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--window", type=int, default=1)
+    p.add_argument("--fixed_views", action="store_true",
+                   help="render.fixed_view_schedule: same per-iteration "
+                        "view draws for every frame")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--render", type=int, default=128)
     p.add_argument("--views", type=int, default=4)
@@ -75,6 +78,7 @@ def main():
         "optim.lr": 0.02,
         "optim.window": args.window,
         "optim.fused_frames": 4,
+        "render.fixed_view_schedule": args.fixed_views,
     })
     style = np.asarray(jax.random.uniform(
         jax.random.PRNGKey(1), (args.render, args.render, 3)))
@@ -126,7 +130,8 @@ def main():
             "gate": "stylized.ratio < 3 * sim.ratio",
         },
         "config": {"shape": list(shape), "frames": args.frames,
-                   "iters": args.iters, "window": args.window},
+                   "iters": args.iters, "window": args.window,
+                   "fixed_views": args.fixed_views},
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result, indent=1), flush=True)

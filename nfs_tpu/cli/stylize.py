@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_type", choices=["poisson", "stratified"],
                    default="poisson")
     p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--fixed_view_schedule", action="store_true",
+                   help="same per-iteration view draws for every frame "
+                        "(temporal-coherence lever)")
     p.add_argument("--transfer_fn", default=None,
                    help="density->RGB transfer function for colored "
                         "rendering: builtin colormap (fire, ice, viridis,"
@@ -142,7 +145,8 @@ def config_from_args(args) -> StyleConfig:
             n_views=args.n_views, theta0=args.theta0, theta1=args.theta1,
             phi0=args.phi0, phi1=args.phi1, sample_type=args.sample_type,
             gamma=args.gamma, transfer_fn=args.transfer_fn,
-            tf_max_density=args.tf_max_density),
+            tf_max_density=args.tf_max_density,
+            fixed_view_schedule=args.fixed_view_schedule),
         loss=LossConfig(
             style_target=args.style_target, style_layers=layers,
             style_layer_weights=lw, w_style=args.w_style,

@@ -57,6 +57,13 @@ class RenderConfig:
     sample_type: str = "poisson"
     # number of precomputed Poisson-disk view sets cycled during optimization
     view_pool: int = 64
+    # use the SAME per-iteration view schedule for every frame of a
+    # sequence (per-frame PRNG keys stop folding in the frame index).
+    # Each frame still cycles the full view pool across iterations, but
+    # frame t and frame t+1 see identical view draws at iteration i —
+    # removing view-sampling jitter from the frame-to-frame stylization
+    # drift (temporal-coherence lever; see bench/quality.py).
+    fixed_view_schedule: bool = False
     # post-render mapping before the CNN
     gamma: float = 1.0
     # view-rotation algorithm: 'shear' (MXU three-shear decomposition,

@@ -217,8 +217,13 @@ class ParallelSequenceStyler:
         params = jax.vmap(lambda _: styler.init_param(spatial))(
             jnp.arange(T_pad))
         info = {"octave_losses": []}
-        base_keys = jax.vmap(
-            lambda t: jax.random.fold_in(key, t))(jnp.arange(T_pad))
+        if styler.cfg.render.fixed_view_schedule:
+            # identical per-iteration view schedule for every frame
+            # (temporal-coherence lever; matches GridStyler._frame_key)
+            base_keys = jnp.tile(key[None], (T_pad,) + (1,) * key.ndim)
+        else:
+            base_keys = jax.vmap(
+                lambda t: jax.random.fold_in(key, t))(jnp.arange(T_pad))
 
         for o, shape in enumerate(shapes):
             is_vel = oc.parameterization == "velocity"

@@ -276,6 +276,15 @@ class GridStyler:
                     feats, lc.content_layer, lc.content_channel)
         return total
 
+    def _frame_key(self, key: jax.Array, abs_t: int) -> jax.Array:
+        """Per-frame PRNG key: absolute-frame fold_in (resume-stable), or
+        the sequence key verbatim when render.fixed_view_schedule — every
+        frame then draws the identical per-iteration view schedule,
+        removing view-sampling jitter from frame-to-frame drift."""
+        if self.cfg.render.fixed_view_schedule:
+            return key
+        return jax.random.fold_in(key, abs_t)
+
     def _window_weights(self, window: int) -> jax.Array:
         oc = self.cfg.optim
         j = jnp.arange(-window, window + 1, dtype=jnp.float32)
@@ -697,7 +706,7 @@ class GridStyler:
                     param = self._advect_param(param, v_prev)
             # absolute-frame-indexed keys: a resumed run (frame_offset>0)
             # draws the exact keys the uninterrupted run drew
-            sub = jax.random.fold_in(key, frame_offset + t)
+            sub = self._frame_key(key, frame_offset + t)
             d_star, param, _ = self.stylize_frame(
                 densities[t], vels=vels_win, init_param=param,
                 key=sub, callback=callback,
@@ -767,7 +776,7 @@ class GridStyler:
                 t_loc = jnp.minimum(
                     jnp.arange(c0, c0 + nc, dtype=jnp.int32), B - 1)
                 keys = jnp.stack([
-                    jax.random.fold_in(key, min(t, t0 + B - 1))
+                    self._frame_key(key, min(t, t0 + B - 1))
                     for t in range(t0 + c0, t0 + c0 + nc)])
                 valid = jnp.arange(nc) < n
                 param, d_stars, _ = _seq_chunk_block(
@@ -817,7 +826,7 @@ class GridStyler:
             nc = fused if T > fused else n
             t_idx = jnp.minimum(jnp.arange(t0, t0 + nc, dtype=jnp.int32),
                                 T - 1)
-            keys = jnp.stack([jax.random.fold_in(key, frame_offset + t)
+            keys = jnp.stack([self._frame_key(key, frame_offset + t)
                               for t in range(t0, t0 + nc)])
             valid = jnp.arange(nc) < n
             param, d_stars, _ = _seq_chunk(

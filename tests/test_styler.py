@@ -184,6 +184,33 @@ class TestGridStyler2D:
         out = list(styler.stylize_sequence(ds))
         assert [t for t, _, _ in out] == [0, 1, 2]
 
+    def test_fixed_view_schedule(self):
+        # render.fixed_view_schedule: every frame draws the IDENTICAL
+        # per-iteration view schedule (frame keys stop folding in the
+        # frame index), so frame 0 of a sequence matches stylize_frame
+        # with the sequence key verbatim. 3D blob: the key only reaches
+        # the loss through multi-view sampling (2D renders ignore it).
+        cfg = tiny_cfg(**{"optim.iters": 3, "optim.octave_n": 1,
+                          "render.fixed_view_schedule": True})
+        styler = GridStyler(cfg, style_image=style_img())
+        d = blob3d()
+        key = jax.random.PRNGKey(7)
+        seq0 = next(iter(styler.stylize_sequence(np.stack([d, d]),
+                                                 key=key)))[1]
+        single, _, _ = styler.stylize_frame(d, key=key)
+        np.testing.assert_allclose(np.asarray(seq0), np.asarray(single),
+                                   rtol=0, atol=0)
+        # default (fold_in) schedule: frame 0's key differs from the
+        # sequence key, so the drawn views — and the output — differ
+        styler2 = GridStyler(tiny_cfg(**{"optim.iters": 3,
+                                         "optim.octave_n": 1}),
+                             style_image=style_img())
+        seq0_f = next(iter(styler2.stylize_sequence(np.stack([d, d]),
+                                                    key=key)))[1]
+        single_f, _, _ = styler2.stylize_frame(d, key=key)
+        assert np.abs(np.asarray(seq0_f)
+                      - np.asarray(single_f)).max() > 0
+
     def test_tv_regularizer(self):
         cfg = tiny_cfg(**{"loss.w_tv": 10.0, "optim.iters": 4})
         styler = GridStyler(cfg, style_image=style_img())
