@@ -202,6 +202,19 @@ class ParticleConfig:
     # iterations between re-binnings (position drift between rebins
     # truncates O(drift^2) kernel mass at the bin-support edge)
     rebin_every: int = 10
+    # coarse-octave strategy (octaves below full splat resolution):
+    # 'grid' — optimize a multiplicative log-density FIELD over the
+    # once-splatted octave density (TNST-priced iterations: the O(N)
+    # per-iteration particle splat leaves the coarse path entirely),
+    # then fold the field into per-particle ddens with one trilinear
+    # sample at particle positions. The particle splat cost is
+    # ~constant across octaves (cells x K ~ N), so 'particle' coarse
+    # octaves cost nearly as much as the finest — 'grid' restores the
+    # multi-scale discount TNST enjoys. Requires optimize_density
+    # (ddens receives the transfer); otherwise octaves fall back to
+    # 'particle'. 'particle' = per-particle attrs at every octave
+    # (exact LNST §4 multi-scale).
+    coarse_mode: str = "grid"
     # fall back to 'flat' when padded_cells * K exceeds this (memory cap)
     max_bin_slots: int = 64_000_000
 

@@ -34,6 +34,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from nfs_tpu.core.pytrees import ParticleSet
 from nfs_tpu.ops.resize import octave_shapes
 from nfs_tpu.parallel.mesh import make_mesh
+from nfs_tpu.styler.octave import _scan_chunk_core
 from nfs_tpu.styler.particle import (
     ParticleStyler,
     _binned_chunk_core,
@@ -54,6 +55,14 @@ def _split2(key_b: jax.Array):
 def _split_n(key_b: jax.Array, n: int):
     """Batched `jax.random.split(key, n)` -> (B, n, 2)."""
     return jax.vmap(lambda k: jax.random.split(k, n))(key_b)
+
+
+@jax.jit
+def _sample_fields_b(g_b: jax.Array, coords_b: jax.Array) -> jax.Array:
+    """Batched per-keyframe trilinear field sample (grid-coarse ddens
+    transfer): (B, *shape) fields at (B, N, dim) coords -> (B, N)."""
+    from nfs_tpu.ops.interp import grid_sample
+    return jax.vmap(grid_sample)(g_b, coords_b)
 
 
 class ParallelKeyframeStyler:
@@ -91,6 +100,41 @@ class ParallelKeyframeStyler:
                      "targets": None, "n_dx": None}
         fn = jax.jit(jax.vmap(core, in_axes=(0, 0, 0, data_axes)),
                      donate_argnums=(0, 1))
+        self._chunk_cache[sig] = fn
+        return fn
+
+    def _get_batched_grid_chunk(self, shape, scale):
+        """jit(vmap(_scan_chunk_core)) for a GRID-space coarse octave
+        (particle.coarse_mode 'grid'): each keyframe optimizes its own
+        multiplicative log-density field over its once-splatted octave
+        density; VGG/targets/pool replicated, base_d batched."""
+        sig = ("grid", shape, round(scale, 6))
+        if sig in self._chunk_cache:
+            return self._chunk_cache[sig]
+        styler = self.styler
+        loss_fn = styler._get_grid_loss_fn(shape, scale)
+        core = partial(_scan_chunk_core, loss_fn=loss_fn,
+                       optimizer=styler._optimizer)
+        data_axes = {"base_d": 0, "pool": None, "vgg": None,
+                     "targets": None}
+        fn = jax.jit(jax.vmap(core, in_axes=(0, 0, 0, data_axes)),
+                     donate_argnums=(0, 1))
+        self._chunk_cache[sig] = fn
+        return fn
+
+    def _get_batched_splat(self, shape, scale):
+        """One dispatch: splat every keyframe's current particles to its
+        octave grid (the grid-coarse octave's base density)."""
+        sig = ("splat", shape, round(scale, 6))
+        if sig in self._chunk_cache:
+            return self._chunk_cache[sig]
+        styler = self.styler
+
+        def one(param, x, dens):
+            return styler._splat_grids(
+                param, {"x": x, "dens": dens}, scale, shape)[0]
+
+        fn = jax.jit(jax.vmap(one))
         self._chunk_cache[sig] = fn
         return fn
 
@@ -132,26 +176,32 @@ class ParallelKeyframeStyler:
                  else jnp.ones((n,), jnp.float32)) for k in keyframes]
 
         # common-K octave plan: every keyframe must fit the binned
-        # layout; K is the max over keyframes so one program serves all
+        # layout; K is the max over keyframes so one program serves all.
+        # With grid-space coarse octaves (particle.coarse_mode 'grid')
+        # only the FINEST octave runs the particle splat, so only it is
+        # probed / needs a bin capacity.
         shapes = octave_shapes(styler.grid_shape, oc.octave_n,
                                oc.octave_scale)
+        grid_coarse = (pc.coarse_mode == "grid" and pc.optimize_density
+                       and len(shapes) > 1)
+        probe_shapes = shapes[-1:] if grid_coarse else shapes
         # batched K probe: one dispatch + one host sync for ALL keyframes
         # (the per-keyframe probe costs a tunnel RTT each)
         from nfs_tpu.styler.particle import _octave_max_counts
-        shp_t = tuple(tuple(s) for s in shapes)
+        shp_t = tuple(tuple(s) for s in probe_shapes)
         kmax_b = np.asarray(jax.vmap(
             lambda xx: _octave_max_counts(xx, shp_t,
                                           float(styler.grid_shape[0])))(
             jnp.stack(xs)))
-        per_kf_ks = [styler._octave_ks(xs[i], None, shapes,
+        per_kf_ks = [styler._octave_ks(xs[i], None, probe_shapes,
                                        kmaxes=kmax_b[i])
                      for i in range(B)]
         if any(ks is None or any(k is None for k in ks)
                for ks in per_kf_ks):
             warnings.warn(
                 "keyframe-parallel LNST needs the binned splat layout "
-                "on every octave; falling back to the sequential path",
-                stacklevel=2)
+                "on every particle-path octave; falling back to the "
+                "sequential path", stacklevel=2)
             yield from styler.stylize_keyframes(psets, key=base_key)
             return
 
@@ -192,12 +242,39 @@ class ParallelKeyframeStyler:
         octave_losses, octave_over = [], []
         for o, shape in enumerate(shapes):
             scale = shape[0] / styler.grid_shape[0]
-            K = max(ks[o] for ks in per_kf_ks)
+            key_b, okey_b = _split2(key_b)
+            if grid_coarse and o < len(shapes) - 1:
+                # grid-space coarse octave, batched: one splat per
+                # keyframe to build the base density, then the whole
+                # field optimization as one vmapped scan (mirrors
+                # ParticleStyler._grid_coarse_octave chunk-for-chunk)
+                base_d_b = self._get_batched_splat(tuple(shape), scale)(
+                    param, x_b, dens_b)
+                g_b = self._shard(
+                    jnp.zeros((Bp,) + tuple(shape), jnp.float32),
+                    batched=True)
+                gstate = jax.jit(jax.vmap(styler._optimizer.init))(g_b)
+                gdata = dict(rep, base_d=base_d_b)
+                gstep = self._get_batched_grid_chunk(tuple(shape), scale)
+                okey_b, s2_b = _split2(okey_b)
+                g_b, gstate, ls = gstep(g_b, gstate,
+                                        _split_n(s2_b, oc.iters), gdata)
+                # fold the field into per-particle ddens (one batched
+                # trilinear sample at particle positions)
+                xx = x_b
+                if has_dx:
+                    xx = x_b + pc.max_offset * jnp.tanh(
+                        param["dx"] / pc.max_offset)
+                delta = _sample_fields_b(g_b, xx * scale)
+                param = dict(param, ddens=param["ddens"] + delta)
+                octave_losses.append(ls[:B])
+                octave_over.append(jnp.zeros((B,), jnp.int32))
+                continue
+            K = max(ks[0 if grid_coarse else o] for ks in per_kf_ks)
             step = self._get_batched_chunk(tuple(shape), K, scale, has_dx)
             data = dict(rep, x=x_b, dens=dens_b, n_dx=float(dims))
             opt_state = jax.jit(jax.vmap(styler._optimizer.init))(param)
             chunk = max(1, pc.rebin_every)
-            key_b, okey_b = _split2(key_b)
             done = 0
             losses = []
             overs = []

@@ -28,9 +28,9 @@ import numpy as np
 import optax
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "optimizer"),
-         donate_argnums=(0, 1))
-def _scan_chunk(params, opt_state, keys, data, loss_fn, optimizer):
+def _scan_chunk_core(params, opt_state, keys, data, loss_fn, optimizer):
+    """Unjitted chunk body — parallel engines vmap this over a keyframe
+    batch (parallel/particles.py) instead of calling the jitted wrapper."""
     def step(carry, key):
         p, s = carry
         loss, grads = jax.value_and_grad(loss_fn)(p, key, data)
@@ -41,6 +41,10 @@ def _scan_chunk(params, opt_state, keys, data, loss_fn, optimizer):
     (params, opt_state), losses = jax.lax.scan(
         step, (params, opt_state), keys)
     return params, opt_state, losses
+
+
+_scan_chunk = partial(jax.jit, static_argnames=("loss_fn", "optimizer"),
+                      donate_argnums=(0, 1))(_scan_chunk_core)
 
 
 def run_octave(

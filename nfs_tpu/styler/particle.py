@@ -346,6 +346,63 @@ class ParticleStyler:
         self._loss_cache[sig] = loss_fn
         return loss_fn
 
+    def _get_grid_loss_fn(self, shape: Tuple[int, ...], scale: float):
+        """Loss for a GRID-space coarse octave (particle.coarse_mode
+        'grid'): optimize a multiplicative log-density field g over the
+        once-splatted octave density, d* = base_d * exp(g). For a field
+        smooth at the octave's own resolution this matches modulating
+        per-particle densities, splat(dens*exp(g(x))) ~ splat(dens)*exp(g),
+        so g transfers to ddens by sampling at particle positions —
+        while its iterations carry NO O(N) splat term at all."""
+        rsize = self._octave_render_size(scale)
+        sig = ("grid_coarse", shape, round(scale, 6), rsize)
+        if sig in self._loss_cache:
+            return self._loss_cache[sig]
+
+        def loss_fn(g, key, data):
+            d_grid = data["base_d"] * jnp.exp(g)
+            imgs = self._render(d_grid, None, key, data["pool"], rsize)
+            return self._image_loss(imgs, data)
+
+        self._loss_cache[sig] = loss_fn
+        return loss_fn
+
+    def _grid_coarse_octave(self, param, data, key, shape, scale,
+                            callback=None):
+        """Run one coarse octave in grid space and fold the learned
+        field into per-particle ddens (one flat splat + one trilinear
+        sample per OCTAVE; zero per-iteration particle cost)."""
+        oc = self.cfg.optim
+        shape = tuple(shape)
+        psig = ("grid_prep", shape, round(scale, 6))
+        if psig not in self._loss_cache:
+            from nfs_tpu.ops.interp import grid_sample
+            pc = self.cfg.particle
+
+            def _prep(param, x, dens):
+                base_d, _ = self._splat_grids(
+                    param, {"x": x, "dens": dens}, scale, shape)
+                return base_d, jnp.zeros(shape, jnp.float32)
+
+            def _xfer(param, g, x):
+                if "dx" in param:
+                    x = x + pc.max_offset * jnp.tanh(
+                        param["dx"] / pc.max_offset)
+                return dict(param, ddens=param["ddens"]
+                            + grid_sample(g, x * scale))
+
+            self._loss_cache[psig] = (jax.jit(_prep), jax.jit(_xfer))
+        prep, xfer = self._loss_cache[psig]
+        base_d, g0 = prep(param, data["x"], data["dens"])
+        loss_fn = self._get_grid_loss_fn(shape, scale)
+        gdata = {"base_d": base_d, "pool": data["pool"],
+                 "vgg": data["vgg"], "targets": data["targets"]}
+        g, losses, _ = run_octave(
+            g0, loss_fn, gdata, key, iters=oc.iters, lr=oc.lr, b1=oc.b1,
+            b2=oc.b2, log_every=oc.log_every, callback=callback,
+            optimizer=self._optimizer)
+        return xfer(param, g, data["x"]), losses
+
     def _octave_ks(self, x, dx, shapes, kmaxes=None) -> Optional[list]:
         """Static bin capacities K for every octave in ONE device dispatch
         and ONE host sync (syncs over a remote-TPU tunnel cost ~an RTT
@@ -439,7 +496,17 @@ class ParticleStyler:
         dx_now = None
         if "dx" in param:
             dx_now = pc.max_offset * jnp.tanh(param["dx"] / pc.max_offset)
-        ks = self._octave_ks(x, dx_now, shapes)
+        # grid-space coarse octaves (particle.coarse_mode): only the
+        # FINEST octave runs the particle splat, so only it needs a bin
+        # capacity (the probe also shrinks to one shape)
+        grid_coarse = pc.coarse_mode == "grid" and "ddens" in param
+        if grid_coarse and len(shapes) > 1:
+            k_last = self._octave_ks(x, dx_now, shapes[-1:])
+            ks = (None if k_last is None
+                  else [None] * (len(shapes) - 1) + k_last)
+        else:
+            grid_coarse = False
+            ks = self._octave_ks(x, dx_now, shapes)
         for o, shape in enumerate(shapes):
             scale = shape[0] / self.grid_shape[0]
             data = {
@@ -452,7 +519,11 @@ class ParticleStyler:
             key, sub = jax.random.split(key)
             cb = partial(callback, octave=o) if callback else None
             K = ks[o] if ks is not None else None
-            if K is not None:
+            if grid_coarse and o < len(shapes) - 1:
+                param, losses = self._grid_coarse_octave(
+                    param, data, sub, tuple(shape), scale, callback=cb)
+                n_over = jnp.int32(0)
+            elif K is not None:
                 param, losses, n_over = self._run_binned_octave(
                     param, data, sub, tuple(shape), scale, K, callback=cb)
             else:  # flat-scatter fallback (non-bspline kernels, huge K,

@@ -358,6 +358,58 @@ class TestParticleStyler3D:
         assert grid.shape == (24, 24, 24)
         assert np.isfinite(np.asarray(grid)).all()
 
+    def test_grid_coarse_mode(self):
+        # particle.coarse_mode='grid': octaves below full resolution
+        # optimize a multiplicative density FIELD (no per-iteration
+        # particle splat) and fold it into ddens via one trilinear
+        # sample. Must (a) transfer into ddens, (b) warm-start the fine
+        # octave at least as well as the all-particle schedule at this
+        # scale (final loss parity), (c) leave octave_n=1 untouched.
+        rng = np.random.default_rng(7)
+        n = 500
+        x = jnp.asarray(4.0 + rng.random((n, 3)) * 16.0, jnp.float32)
+        pset = ParticleSet(x=x, dens=jnp.ones((n,), jnp.float32))
+
+        def run(mode):
+            cfg = tiny_cfg(**{
+                "optim.iters": 6, "optim.octave_n": 2,
+                "optim.lr": 0.05,
+                "render.n_views": 2, "render.transmit": 0.3,
+                "particle.optimize_position": True,
+                "particle.optimize_density": True,
+                "particle.coarse_mode": mode,
+            })
+            styler = ParticleStyler(cfg, grid_shape=(24, 24, 24),
+                                    style_image=style_img())
+            _, param, info = styler.stylize_frame(
+                pset, key=jax.random.PRNGKey(5))
+            return param, [float(np.asarray(l)[-1])
+                           for l in info["octave_losses"]]
+
+        p_grid, f_grid = run("grid")
+        p_part, f_part = run("particle")
+        # coarse field transfer actually reached ddens
+        assert float(jnp.abs(p_grid["ddens"]).max()) > 0.0
+        # both coarse octaves converge; fine-octave final loss parity
+        assert np.isfinite(f_grid).all() and np.isfinite(f_part).all()
+        assert f_grid[-1] <= 1.5 * f_part[-1], (
+            f"grid-coarse warm start degraded the fine octave: "
+            f"{f_grid[-1]} vs {f_part[-1]}")
+        # octave_n=1 (no coarse octave): both modes identical
+        cfg1 = tiny_cfg(**{
+            "optim.iters": 3, "optim.octave_n": 1,
+            "render.n_views": 2, "render.transmit": 0.3,
+            "particle.optimize_density": True,
+        })
+        outs = []
+        for mode in ("grid", "particle"):
+            st = ParticleStyler(
+                replace(cfg1, **{"particle.coarse_mode": mode}),
+                grid_shape=(24, 24, 24), style_image=style_img())
+            s, _, _ = st.stylize_frame(pset, key=jax.random.PRNGKey(5))
+            outs.append(np.asarray(s.dens))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
 
 class TestRematViews:
     def test_remat_matches_batched_loss(self):
