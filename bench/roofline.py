@@ -214,6 +214,37 @@ def main():
       "(render/VGG-fwd/bwd/adam split) in BENCH_r03 to localize the "
       "measured split against this model.")
     w("")
+    w("## Measured attribution (round 3: jax.profiler device trace of "
+      "10 scanned finest-octave steps on v5e)")
+    w("")
+    w("Pure device time 14.7 ms/iter (the scan has no dispatch floor; "
+      "earlier per-dispatch stage numbers carried the axon relay's "
+      "~1-5 ms per-call overhead). HLO-category split per iteration:")
+    w("")
+    w("| category | ms/iter | share | note |")
+    w("|---|---|---|---|")
+    w("| convolution fusions | 9.08 | 62% | largest: conv1_2 bwd 1.63, "
+      "conv2_1 bwd 1.12, conv1_2 fwd 0.98 — 10-25% of the per-conv "
+      "roofline each |")
+    w("| data formatting (layout copies) | 2.88 | 20% | XLA materializes "
+      "each styled activation twice: convs prefer {3,0,2,1}, "
+      "pool/Gram consumers {2,3,1,0} (bf16[9,256,256,64] copies, "
+      "0.5-0.6 ms each) |")
+    w("| reduce-window (pooling) | 0.93 | 6% | |")
+    w("| elementwise/loop+output fusions | 1.35 | 9% | render at 0.46 ms "
+      "is INSIDE this + conv bucket — at its 0.29 ms memory floor |")
+    w("")
+    w("Attempted and rejected (measured end-to-end, no win): first-conv "
+      "patches-einsum GEMM (standalone 1.19 -> 0.88 ms but flat "
+      "in-program), reshape-mean pooling (spawned 6D broadcast copies "
+      "in backward, +6% step time), reshape-free Gram einsum (layout "
+      "copies persist — they come from XLA's conv-backward layout "
+      "assignment, not the reshape). The remaining gap to the 65.7% "
+      "composite ceiling lives inside XLA:TPU's conv codegen and "
+      "layout assignment at batch-9 256^2 shapes; orchestration "
+      "overhead (dispatch, Adam, renderer, splat plumbing) is already "
+      "at or near its floor.")
+    w("")
     print("\n".join(lines))
     with open("docs/ROOFLINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")

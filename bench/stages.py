@@ -22,10 +22,14 @@ import numpy as np
 
 
 def _scalar(y):
+    """Tiny scalar depending on EVERY output leaf — folding it into the
+    next input keeps the whole computation live (folding only one leaf
+    lets XLA dead-code-eliminate the rest: a value_and_grad leg whose
+    grads go unused silently drops its entire backward pass)."""
     import jax.numpy as jnp
     leaves = [l for l in __import__("jax").tree_util.tree_leaves(y)
               if hasattr(l, "dtype")]
-    return jnp.mean(leaves[0].astype(jnp.float32))
+    return sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
 
 
 def honest_ms(fn, x0, n: int = 6, repeats: int = 3):
@@ -33,7 +37,12 @@ def honest_ms(fn, x0, n: int = 6, repeats: int = 3):
     chaining + terminal host read (tunnel-proof). Runs `repeats` passes
     of `n` chained calls and returns the BEST pass's mean ms — the axon
     tunnel adds multi-second load spikes (CLAUDE.md), and noise is
-    strictly additive, so min-of-passes is the honest hardware figure."""
+    strictly additive, so min-of-passes is the honest hardware figure.
+
+    CAVEAT: each chained call still pays the relay's per-dispatch floor
+    (~1+ ms), so this measures DISPATCH GRANULARITY cost, not pure
+    device time — fine for comparing same-call-count variants, wrong for
+    absolute per-stage accounting. Use scanned_marginal_ms for that."""
     import jax.numpy as jnp
 
     y = fn(x0)                       # compile + warm
@@ -52,9 +61,43 @@ def honest_ms(fn, x0, n: int = 6, repeats: int = 3):
     return best
 
 
+def scanned_marginal_ms(fn, x0, n: int = 10, repeats: int = 2):
+    """Pure device time per execution of `fn`: runs n and 2n iterations
+    of a lax.scan whose body folds fn's output back into the carry (so
+    every iteration really executes fn, on device, with NO per-iteration
+    dispatch), and returns the best (t_2n - t_n) / n. Differential
+    two-point measurement cancels the relay's per-dispatch floor AND the
+    single compile/transfer constants (see bench/lnst_stages.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def scan_n(x, steps):
+        def body(c, _):
+            y = fn(c)
+            return x0 + jnp.float32(1e-30) * _scalar(y), ()
+        c, _ = jax.lax.scan(body, x, None, length=steps)
+        return _scalar(fn(c))
+
+    for steps in (n, 2 * n):         # compile both lengths
+        float(scan_n(x0, steps))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(scan_n(x0, n))
+        t1 = time.perf_counter()
+        float(scan_n(x0, 2 * n))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / n * 1000.0)
+    return best
+
+
 def stage_breakdown(styler, d, n: int = 6, key_seed: int = 0):
     """Per-stage ms of one Adam iteration at the FINEST octave of
     `styler`'s config on density `d` (the dominant cost of a frame).
+    Each stage is a scanned two-point differential (pure device time —
+    the relay's per-dispatch floor and compile/transfer constants
+    cancel; see scanned_marginal_ms).
 
     Stages:
       render      — apply_param + 9-view rotate/raymarch/resize forward
@@ -95,10 +138,10 @@ def stage_breakdown(styler, d, n: int = 6, key_seed: int = 0):
         return optax.apply_updates(p, updates), loss
 
     out = {
-        "render_ms": honest_ms(render_fn, param, n),
-        "loss_fwd_ms": honest_ms(fwd_fn, param, n),
-        "loss_grad_ms": honest_ms(grad_fn, param, n),
-        "full_step_ms": honest_ms(step_fn, param, n),
+        "render_ms": scanned_marginal_ms(render_fn, param, n),
+        "loss_fwd_ms": scanned_marginal_ms(fwd_fn, param, n),
+        "loss_grad_ms": scanned_marginal_ms(grad_fn, param, n),
+        "full_step_ms": scanned_marginal_ms(step_fn, param, n),
     }
     out["vgg_fwd_ms"] = round(out["loss_fwd_ms"] - out["render_ms"], 3)
     out["backward_ms"] = round(out["loss_grad_ms"] - out["loss_fwd_ms"], 3)

@@ -23,6 +23,8 @@ bound the error vs rotate3d). Slopes grow as tan(t/2): keep |t| < ~120 deg
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -44,10 +46,15 @@ def _shear_matrix(size: int, drive_size: int, slope: jax.Array,
 
 
 def shear(vol: jax.Array, move_axis: int, drive_axis: int,
-          slope: jax.Array) -> jax.Array:
+          slope: jax.Array, dtype=None) -> jax.Array:
     """Pull-back shear of a 3D volume: out[x] = vol at
     x_move - slope * (x_drive - c_drive), linear interp, zero boundary,
     centered on the volume midpoint.
+
+    dtype: optional einsum OPERAND dtype (accumulation stays f32).
+    bfloat16 rides the MXU's full-rate path — interpolation weights in
+    [0, 1] and smoke densities tolerate the 8-bit mantissa (error bounded
+    vs the f32 shears in tests/test_shear.py).
     """
     assert vol.ndim == 3 and move_axis != drive_axis
     size = vol.shape[move_axis]
@@ -59,6 +66,9 @@ def shear(vol: jax.Array, move_axis: int, drive_axis: int,
     # bring to (drive, move, other)
     perm = (drive_axis, move_axis, other_axis)
     v = jnp.transpose(vol, perm)
+    if dtype is not None:
+        t = t.astype(dtype)
+        v = v.astype(dtype)
     out = jnp.einsum("bij,bjo->bio", t, v,
                      preferred_element_type=jnp.float32)
     # invert the permutation
@@ -69,7 +79,7 @@ def shear(vol: jax.Array, move_axis: int, drive_axis: int,
 
 
 def _rotate_plane(vol: jax.Array, axis_u: int, axis_v: int,
-                  angle: jax.Array) -> jax.Array:
+                  angle: jax.Array, dtype=None) -> jax.Array:
     """Pull-back rotation by `angle` in the (u, v) plane via three shears.
 
     Matches the gather rotate's convention out(x) = vol(c + R^T (x - c))
@@ -80,24 +90,25 @@ def _rotate_plane(vol: jax.Array, axis_u: int, axis_v: int,
     # three-shear factorization of that pull-back:
     a = -jnp.tan(angle / 2.0)
     b = jnp.sin(angle)
-    vol = shear(vol, axis_u, axis_v, a)
-    vol = shear(vol, axis_v, axis_u, b)
-    vol = shear(vol, axis_u, axis_v, a)
+    vol = shear(vol, axis_u, axis_v, a, dtype=dtype)
+    vol = shear(vol, axis_v, axis_u, b, dtype=dtype)
+    vol = shear(vol, axis_u, axis_v, a, dtype=dtype)
     return vol
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("dtype",))
 def rotate3d_shear(d: jax.Array, theta: jax.Array,
-                   phi: jax.Array) -> jax.Array:
+                   phi: jax.Array, dtype=None) -> jax.Array:
     """MXU shear-decomposed equivalent of
     :func:`nfs_tpu.ops.rotate.rotate3d` (mode='zero').
 
     Volume (D=z, H=y, W=x); theta = azimuth about y (mixes z, x),
     phi = elevation about x (mixes z, y). Applied as theta pull-back
     first, then phi — matching rotate3d's R = R_phi @ R_theta.
+    dtype: shear einsum operand dtype (render.rotation='shear_bf16').
     """
-    out = _rotate_plane(d, 0, 2, theta)   # about y: (z, x) plane
-    out = _rotate_plane(out, 0, 1, phi)   # about x: (z, y) plane
+    out = _rotate_plane(d, 0, 2, theta, dtype=dtype)   # y: (z, x) plane
+    out = _rotate_plane(out, 0, 1, phi, dtype=dtype)   # x: (z, y) plane
     return out
 
 

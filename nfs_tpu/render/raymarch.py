@@ -41,6 +41,10 @@ def _rotate(d: jax.Array, theta, phi, method: str) -> jax.Array:
     'gather' = exact trilinear resample."""
     if method == "shear":
         return rotate3d_shear(d, theta, phi)
+    if method == "shear_bf16":
+        # bf16 shear OPERANDS (f32 accumulate): full-rate MXU path;
+        # pairs with loss.features_dtype='bfloat16'
+        return rotate3d_shear(d, theta, phi, dtype=jnp.bfloat16)
     if method == "gather":
         return rotate3d(d, theta, phi, mode="zero")
     raise ValueError(f"unknown rotation method {method!r}")

@@ -88,6 +88,23 @@ class TestShear:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).max()) > 0.0
 
+    def test_bf16_operands_close(self):
+        # render.rotation='shear_bf16': bf16 einsum OPERANDS, f32
+        # accumulate. On TPU the default f32 matmul already computes
+        # bf16 MXU passes (outputs bit-identical there); on CPU this
+        # bounds the operand-rounding error the mode can introduce.
+        d = smooth_volume((24, 16, 24))
+        a = rotate3d_shear(d, jnp.float32(0.2), jnp.float32(-0.1))
+        b = rotate3d_shear(d, jnp.float32(0.2), jnp.float32(-0.1),
+                           dtype=jnp.bfloat16)
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-8))
+        assert rel < 0.02
+        c = render_volume(d, jnp.float32(0.2), jnp.float32(-0.1),
+                          transmit=0.3, method="shear_bf16")
+        assert c.shape == render_volume(
+            d, jnp.float32(0.2), jnp.float32(-0.1), transmit=0.3,
+            method="shear").shape
+
     def test_render_volume_method_switch(self):
         d = smooth_volume((16, 12, 16))
         a = render_volume(d, jnp.float32(0.2), jnp.float32(0.1),
