@@ -13,6 +13,7 @@ Protocol (filesystem spool — works over any shared mount, no broker):
   <spool>/inbox/<job>.json     submitted by clients, atomic rename
   <spool>/work/<job>.json      claimed by the worker (rename = lock)
   <spool>/done/<job>.json      result manifest (status, outputs, timing)
+  <spool>/worker_<pid>.json    liveness heartbeat + stats (atomic, ~5 s)
   <spool>/stop                 graceful shutdown marker
 
 Job JSON:
@@ -22,7 +23,11 @@ Job JSON:
    "out_dir": ...,
    "config": {"optim.iters": 30, ...},   # StyleConfig overrides
    "style_target": "path.png",
-   "grid_shape": [128, 128]}            # particle mode
+   "grid_shape": [128, 128],            # particle mode
+   "parallel": true}                    # shard the job over the device
+                                        # mesh (grid: frames x views
+                                        # ParallelSequenceStyler;
+                                        # particle: keyframe-DP engine)
 
 Run:  python -m nfs_tpu.cli.serve --spool /path/to/spool
 """
@@ -84,7 +89,8 @@ class StylizeWorker:
         mode = job.get("mode", "grid")
         cfg = _config_from_job(job)
         grid_shape = tuple(job.get("grid_shape", ())) or None
-        sig = (mode, cfg, grid_shape)
+        parallel = bool(job.get("parallel", False))
+        sig = (mode, cfg, grid_shape, parallel)
         if sig in self._stylers:
             self.stats["styler_cache_hits"] += 1
             return self._stylers[sig]
@@ -92,10 +98,24 @@ class StylizeWorker:
             from nfs_tpu.styler.particle import ParticleStyler
 
             styler = ParticleStyler(cfg, grid_shape=grid_shape)
+            if parallel:
+                from nfs_tpu.parallel.particles import (
+                    ParallelKeyframeStyler)
+
+                styler = ParallelKeyframeStyler(styler)
         else:
             from nfs_tpu.styler.grid import GridStyler
 
             styler = GridStyler(cfg)
+            if parallel:
+                import jax
+
+                from nfs_tpu.parallel.engine import ParallelSequenceStyler
+                from nfs_tpu.parallel.mesh import make_mesh, mesh_shape_for
+
+                f_sh, v_sh = mesh_shape_for(len(jax.devices()))
+                styler = ParallelSequenceStyler(styler,
+                                                make_mesh(f_sh, v_sh))
         self._stylers[sig] = styler
         return styler
 
@@ -141,7 +161,15 @@ class StylizeWorker:
                     job["data_dir"],
                     job.get("v_path", "v_%04d.npz") % frames[0])):
                 vels = [store.load_velocity(t) for t in frames]
-            if len(frames) == 1 and cfg.optim.window == 0:
+            if job.get("parallel"):
+                # mesh engine: all frames in one sharded optimization
+                d_star, _, _ = styler.stylize(
+                    np.stack(densities),
+                    np.stack(vels) if vels is not None else None)
+                for i, t in enumerate(frames):
+                    out_store.save_density(t, np.asarray(d_star[i]))
+                    outputs.append(f"d_{t:04d}.npz")
+            elif len(frames) == 1 and cfg.optim.window == 0:
                 d_star, _, _ = styler.stylize_frame(densities[0])
                 out_store.save_density(frames[0], np.asarray(d_star))
                 outputs.append(f"d_{frames[0]:04d}.npz")
@@ -167,8 +195,28 @@ def serve(spool: str, poll_s: float = 0.5, max_jobs: int = None,
     _ensure_dirs(spool)
     worker = StylizeWorker()
     stop_marker = os.path.join(spool, "stop")
+    hb_path = os.path.join(spool, f"worker_{os.getpid()}.json")
+    started = time.time()
     last_work = time.time()
+    last_hb = 0.0
+
+    def heartbeat(status: str):
+        # observability (SURVEY.md §5): liveness + stats, atomic write so
+        # monitors never read a torn file; one file per worker pid
+        nonlocal last_hb
+        blob = {"pid": os.getpid(), "status": status,
+                "started": round(started, 3),
+                "uptime_s": round(time.time() - started, 3),
+                "idle_s": round(time.time() - last_work, 3),
+                "stats": worker.stats}
+        with open(hb_path + ".tmp", "w") as f:
+            json.dump(blob, f)
+        os.replace(hb_path + ".tmp", hb_path)
+        last_hb = time.time()
+
     while True:
+        if time.time() - last_hb > 5.0:
+            heartbeat("polling")
         if os.path.exists(stop_marker):
             break
         # max_jobs counts PROCESSED jobs (success + error): a stream of
@@ -206,8 +254,10 @@ def serve(spool: str, poll_s: float = 0.5, max_jobs: int = None,
         os.replace(done + ".tmp", done)
         os.unlink(claimed)
         last_work = time.time()
+        heartbeat("working")
         print(f"[serve] {name}: {result['status']} "
               f"({result.get('wall_s', '-')}s)", flush=True)
+    heartbeat("stopped")
     return worker.stats
 
 

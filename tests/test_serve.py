@@ -124,6 +124,45 @@ class TestServe:
         with np.load(path) as z:
             assert np.isfinite(z["d"]).all()
 
+    def test_parallel_grid_job(self, tmp_path):
+        # "parallel": true shards the job over the device mesh (8
+        # virtual CPU devices under conftest); 3D data exercises the
+        # real multi-view engine path
+        data = str(tmp_path / "data")
+        spool = str(tmp_path / "spool")
+        style = str(tmp_path / "style.png")
+        os.makedirs(data)
+        shape = (12, 8, 12)
+        g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                        indexing="ij")
+        d0 = np.exp(-4 * sum(x ** 2 for x in g)).astype(np.float32)
+        for t in range(2):
+            np.savez(os.path.join(data, f"d_{t:04d}.npz"),
+                     d=d0 * (1 + 0.1 * t))
+        _style_png(style)
+        job = _job(data, str(tmp_path / "outp"), style, frames=(0, 1))
+        job["parallel"] = True
+        job["config"]["render.n_views"] = 2
+        submit_job(spool, job, name="par")
+        stats = serve(spool, poll_s=0.01, max_jobs=1)
+        assert stats["jobs"] == 1, stats
+        with open(os.path.join(spool, "done", "par.json")) as f:
+            res = json.load(f)
+        assert res["status"] == "ok", res
+        for t in (0, 1):
+            path = os.path.join(str(tmp_path / "outp"), f"d_{t:04d}.npz")
+            with np.load(path) as z:
+                d = z["d"]
+                assert d.shape == shape
+                assert np.isfinite(d).all()
+        # heartbeat file written and reports final stats
+        hb = [f for f in os.listdir(spool) if f.startswith("worker_")]
+        assert hb, os.listdir(spool)
+        with open(os.path.join(spool, hb[0])) as f:
+            beat = json.load(f)
+        assert beat["status"] == "stopped"
+        assert beat["stats"]["jobs"] == 1
+
     def test_json_list_config_values_hashable(self, tmp_path):
         # JSON has no tuples: list-valued overrides (render_size, layer
         # lists) must be normalized to tuples so the frozen config stays
