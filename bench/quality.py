@@ -30,6 +30,10 @@ def main():
     p.add_argument("--fixed_views", action="store_true",
                    help="render.fixed_view_schedule: same per-iteration "
                         "view draws for every frame")
+    p.add_argument("--warm_iters", type=int, default=None,
+                   help="optim.warm_iters for warm-started frames")
+    p.add_argument("--warm_lr", type=float, default=None,
+                   help="optim.warm_lr for warm-started frames")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--render", type=int, default=128)
     p.add_argument("--views", type=int, default=4)
@@ -78,6 +82,8 @@ def main():
         "optim.lr": 0.02,
         "optim.window": args.window,
         "optim.fused_frames": 4,
+        "optim.warm_iters": args.warm_iters,
+        "optim.warm_lr": args.warm_lr,
         "render.fixed_view_schedule": args.fixed_views,
     })
     style = np.asarray(jax.random.uniform(
@@ -131,7 +137,9 @@ def main():
         },
         "config": {"shape": list(shape), "frames": args.frames,
                    "iters": args.iters, "window": args.window,
-                   "fixed_views": args.fixed_views},
+                   "fixed_views": args.fixed_views,
+                   "warm_iters": args.warm_iters,
+                   "warm_lr": args.warm_lr},
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result, indent=1), flush=True)

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--octave_scale", type=float, default=1.8)
     p.add_argument("--iter", type=int, default=30, dest="iters")
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--warm_iter", type=int, default=None,
+                   help="iterations per octave for warm-started sequence "
+                        "frames (fewer steps = less temporal drift)")
+    p.add_argument("--warm_lr", type=float, default=None,
+                   help="Adam lr for warm-started sequence frames")
     p.add_argument("--parameterization", choices=["density", "velocity"],
                    default="density",
                    help="TNST §4.2: additive density vs transport (v-hat)")
@@ -157,6 +162,7 @@ def config_from_args(args) -> StyleConfig:
         optim=OptimConfig(
             octave_n=args.octave_n, octave_scale=args.octave_scale,
             iters=args.iters, lr=args.lr,
+            warm_iters=args.warm_iter, warm_lr=args.warm_lr,
             parameterization=args.parameterization, window=args.window,
             window_sigma=args.window_sigma),
         particle=ParticleConfig(

@@ -134,6 +134,16 @@ class OptimConfig:
     octave_scale: float = 1.8
     iters: int = 30          # Adam iterations per octave
     lr: float = 0.01
+    # schedule for WARM-STARTED sequence frames (recursive init from the
+    # advected previous solution, TNST §6): they re-converge in far
+    # fewer, smaller steps than a cold frame, and every extra step is
+    # re-optimization DRIFT — the dominant temporal-incoherence term.
+    # Measured (12-frame scorecard, bench/quality.py --warm_iters 5
+    # --warm_lr 0.005): warped-frame ratio 0.036 -> 0.018 at equal Gram
+    # distance, and warm frames cost ~1/3 the iterations. None = use
+    # iters/lr for every frame (reference behavior).
+    warm_iters: Optional[int] = None
+    warm_lr: Optional[float] = None
     # 'density'  => optimize an additive density perturbation (d* = d + dd)
     # 'velocity' => transport parameterization, d* = advect(d, v_hat)
     #               (TNST §4.2)

@@ -146,6 +146,11 @@ class GridStyler:
         self._loss_cache: Dict[Tuple, object] = {}
         self._optimizer = optax.adam(cfg.optim.lr, b1=cfg.optim.b1,
                                      b2=cfg.optim.b2)
+        # stable second optimizer for warm-started frames (optim.warm_lr)
+        oc = cfg.optim
+        self._warm_optimizer = (
+            optax.adam(oc.warm_lr, b1=oc.b1, b2=oc.b2)
+            if oc.warm_lr is not None else self._optimizer)
 
     # ---------------------------------------------------------------- #
     # loss pipeline (pure functions of (opt_var, key, data))
@@ -356,21 +361,25 @@ class GridStyler:
         self._loss_cache[sig] = loss_fn
         return loss_fn
 
-    def _get_seq_step(self, full_shape: Tuple[int, ...], window: int):
+    def _get_seq_step(self, full_shape: Tuple[int, ...], window: int,
+                      warm: bool = False):
         """Per-frame step for the fused sequence path: recursive-init
         advection + the complete coarse-to-fine octave optimization of one
         frame, as a pure jittable function of (param, t, key, dens, vels,
-        data). Cached per (shape, window) so every chunk reuses one
-        executable."""
-        sig = ("seq", tuple(full_shape), window)
+        data). Cached per (shape, window, warm) so every chunk reuses one
+        executable. warm=True uses the optim.warm_iters/warm_lr schedule
+        (the fused driver runs warm-started chain frames through it)."""
+        sig = ("seq", tuple(full_shape), window, warm)
         if sig in self._loss_cache:
             return self._loss_cache[sig]
 
         cfg = self.cfg
         oc = cfg.optim
+        n_iters = (oc.warm_iters if (warm and oc.warm_iters is not None)
+                   else oc.iters)
         ndim = len(full_shape)
         shapes = octave_shapes(full_shape, oc.octave_n, oc.octave_scale)
-        optimizer = self._optimizer
+        optimizer = self._warm_optimizer if warm else self._optimizer
         # closures built OUTSIDE the trace (they allocate weight constants;
         # building them inside step_fn leaks tracers into the cache)
         loss_fns = [
@@ -401,7 +410,7 @@ class GridStyler:
                 loss_fn = loss_fns[o]
                 opt_state = optimizer.init(p)
                 keys = jax.random.split(jax.random.fold_in(key, o),
-                                        oc.iters)
+                                        n_iters)
 
                 def istep(carry, k, _loss_fn=loss_fn, _data=data_o):
                     pp, ss = carry
@@ -505,7 +514,8 @@ class GridStyler:
                       init_param: Optional[jax.Array] = None,
                       key: Optional[jax.Array] = None,
                       callback=None,
-                      checkpoint_path: Optional[str] = None):
+                      checkpoint_path: Optional[str] = None,
+                      warm: Optional[bool] = None):
         """Stylize one frame (or one temporal window around a frame).
 
         Args:
@@ -519,6 +529,9 @@ class GridStyler:
             after every log_every-iteration chunk and the call RESUMES
             from an existing checkpoint at that path (SURVEY.md §5). The
             file is removed on successful completion.
+          warm: use the optim.warm_iters/warm_lr schedule (fewer, smaller
+            steps — warm starts re-converge fast and extra steps are
+            temporal drift). None = auto: warm iff init_param is given.
 
         Returns:
           (d_star, param, info): stylized full-res density, final opt
@@ -530,6 +543,10 @@ class GridStyler:
 
         cfg = self.cfg
         oc = cfg.optim
+        warm = (init_param is not None) if warm is None else warm
+        it_eff = (oc.warm_iters if (warm and oc.warm_iters is not None)
+                  else oc.iters)
+        opt_eff = self._warm_optimizer if warm else self._optimizer
         d_full = jnp.asarray(d, jnp.float32)
         full_shape = d_full.shape
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
@@ -550,7 +567,7 @@ class GridStyler:
             # chunking (log_every), iteration budget, and octave ladder
             # are unchanged between runs — refuse loudly on a mismatch
             # instead of silently diverging from the uninterrupted run
-            expect = {"log_every": oc.log_every, "iters": oc.iters,
+            expect = {"log_every": oc.log_every, "iters": it_eff,
                       "shapes": [list(s) for s in shapes]}
             for k, want in expect.items():
                 got = meta.get(k, want)  # old checkpoints: no guard
@@ -564,7 +581,7 @@ class GridStyler:
             o = int(meta["octave"])
             p_like = self.init_param(shapes[o])
             like = {"param": p_like,
-                    "opt_state": self._optimizer.init(p_like)}
+                    "opt_state": opt_eff.init(p_like)}
             state, _ = load_checkpoint(checkpoint_path, like)
             param = state["param"]
             restored_opt = state["opt_state"]
@@ -600,14 +617,14 @@ class GridStyler:
                     save_checkpoint(
                         checkpoint_path, {"param": p, "opt_state": s},
                         meta={"octave": _o, "iters_done": done,
-                              "log_every": oc.log_every, "iters": oc.iters,
+                              "log_every": oc.log_every, "iters": it_eff,
                               "shapes": [list(s_) for s_ in shapes]})
 
             param, losses, _ = run_octave(
-                param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
+                param, loss_fn, data, sub, iters=it_eff, lr=oc.lr,
                 b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
                 callback=(partial(callback, octave=o) if callback else None),
-                optimizer=self._optimizer,
+                optimizer=opt_eff,
                 init_opt_state=(restored_opt if o == start_octave
                                 else None),
                 start_iter=(start_iter if o == start_octave else 0),
@@ -734,6 +751,14 @@ class GridStyler:
         last frame (None mid-block), usable for checkpointed restarts.
         """
         cfg = self.cfg
+        if (cfg.optim.warm_iters is not None
+                or cfg.optim.warm_lr is not None):
+            import warnings
+            warnings.warn(
+                "optim.warm_iters/warm_lr are not applied on the "
+                "block-streamed path; every frame runs the full "
+                "schedule (use stylize_sequence for the warm schedule)",
+                stacklevel=2)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         param = None
         step_fn = None
@@ -802,14 +827,20 @@ class GridStyler:
         optimizations ONCE per sequence)."""
         T = densities.shape[0]
         full_shape = tuple(densities.shape[1:])
-        window = (self.cfg.optim.window if velocities is not None else 0)
-        step_fn = self._get_seq_step(full_shape, window)
+        oc = self.cfg.optim
+        window = (oc.window if velocities is not None else 0)
+        warm_set = oc.warm_iters is not None or oc.warm_lr is not None
+        # chain frames (everything warm-started by the recursive init)
+        # run the warm schedule; with a fresh start, frame 0 runs COLD
+        # through the streaming single-frame path below
+        step_fn = self._get_seq_step(full_shape, window, warm=warm_set)
         data = {
             "pool": self.view_pool,
             "vgg": self.vgg_params,
             "targets": self.gram_targets,
             "content": self.content_feats,
         }
+        t_start = 0
         if init_param is not None:
             param = jnp.asarray(init_param, jnp.float32)
             if prev_velocity is not None:
@@ -819,11 +850,24 @@ class GridStyler:
                     param, jnp.asarray(prev_velocity, jnp.float32))
         else:
             param = self.init_param(full_shape)
-        for t0 in range(0, T, fused):
+            if warm_set:
+                W = window
+                vels_win0 = None
+                if W and velocities is not None:
+                    idx = [0] * W + [min(j, T - 1) for j in range(W)]
+                    vels_win0 = jnp.stack([velocities[i] for i in idx])
+                d0, param, _ = self.stylize_frame(
+                    densities[0], vels=vels_win0,
+                    key=self._frame_key(key, frame_offset), warm=False)
+                yield 0, d0, (param if T == 1 else None)
+                if T == 1:
+                    return
+                t_start = 1
+        for t0 in range(t_start, T, fused):
             n = min(fused, T - t0)
             # pad the tail chunk only when a full chunk was already
             # compiled; a short-sequence single chunk stays exact-sized
-            nc = fused if T > fused else n
+            nc = fused if (T - t_start) > fused else n
             t_idx = jnp.minimum(jnp.arange(t0, t0 + nc, dtype=jnp.int32),
                                 T - 1)
             keys = jnp.stack([self._frame_key(key, frame_offset + t)

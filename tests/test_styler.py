@@ -211,6 +211,33 @@ class TestGridStyler2D:
         assert np.abs(np.asarray(seq0_f)
                       - np.asarray(single_f)).max() > 0
 
+    def test_warm_schedule(self):
+        # optim.warm_iters/warm_lr: warm-started frames (init_param) run
+        # fewer, smaller steps; cold frames keep the full schedule
+        cfg = tiny_cfg(**{"optim.iters": 5, "optim.octave_n": 1,
+                          "optim.warm_iters": 2, "optim.warm_lr": 0.005})
+        styler = GridStyler(cfg, style_image=style_img())
+        d = blob2d()
+        _, p0, info0 = styler.stylize_frame(d)             # cold
+        assert len(np.asarray(info0["octave_losses"][0])) == 5
+        _, _, info1 = styler.stylize_frame(d, init_param=p0)  # warm
+        assert len(np.asarray(info1["octave_losses"][0])) == 2
+        # fused sequence: frame 0 cold (streaming), rest warm; all
+        # frames yielded, finite, stylized
+        cfgf = tiny_cfg(**{"optim.iters": 4, "optim.octave_n": 1,
+                           "optim.warm_iters": 2, "optim.warm_lr": 0.01,
+                           "optim.window": 1, "optim.fused_frames": 2})
+        stf = GridStyler(cfgf, style_image=style_img())
+        T = 4
+        ds = np.stack([blob2d() * (1 + 0.1 * t) for t in range(T)])
+        vs = np.full((T, 32, 24, 2), 0.2, np.float32)
+        out = list(stf.stylize_sequence(ds, vs))
+        assert [t for t, _, _ in out] == list(range(T))
+        for t, d_star, _ in out:
+            d_star = np.asarray(d_star)
+            assert np.isfinite(d_star).all()
+            assert np.abs(d_star - ds[t]).max() > 0
+
     def test_tv_regularizer(self):
         cfg = tiny_cfg(**{"loss.w_tv": 10.0, "optim.iters": 4})
         styler = GridStyler(cfg, style_image=style_img())
