@@ -36,6 +36,11 @@ def main():
                    help="seconds of sim generation per invocation (clean "
                         "chunk-boundary exit + resume; avoids hard kills "
                         "that wedge the remote TPU tunnel)")
+    p.add_argument("--warm_iters", type=int, default=None,
+                   help="optim.warm_iters: schedule for warm-started "
+                        "chain frames (see docs/QUALITY_warm.json)")
+    p.add_argument("--warm_lr", type=float, default=None)
+    p.add_argument("--out", default="BENCH_NORTHSTAR.json")
     p.add_argument("--sim_only", action="store_true",
                    help="generate + cache the sim data, then exit (lets "
                         "sim and stylization run in separate processes "
@@ -103,6 +108,8 @@ def main():
         "optim.lr": 0.02,
         "optim.window": args.window,
         "optim.fused_frames": args.fused,
+        "optim.warm_iters": args.warm_iters,
+        "optim.warm_lr": args.warm_lr,
     })
     style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
                                           (256, 256, 3)))
@@ -141,20 +148,28 @@ def main():
     from nfs_tpu.utils.flops import (TPU_V5E_PEAK_BF16, mfu,
                                      styler_step_flops)
     shape = (112, 64, 112)
-    frame_flops = 0.0
+    iter_flops = 0.0
     for oshape in octave_shapes(shape, cfg.optim.octave_n,
                                 cfg.optim.octave_scale):
         rsize = styler._octave_render_size(oshape, shape)
-        frame_flops += args.iters * styler_step_flops(
+        iter_flops += styler_step_flops(
             oshape, rsize, cfg.render.n_views, cfg.loss.style_layers,
             n_window_renders=1 + 2 * args.window)
-    achieved = frame_flops * args.frames / wall
+    # warm-started chain frames run warm_iters (frame 0 runs the full
+    # schedule) — count the actual iterations, not iters * frames
+    it_warm = (args.warm_iters if args.warm_iters is not None
+               else args.iters)
+    total_flops = iter_flops * (args.iters
+                                + it_warm * (args.frames - 1))
+    achieved = total_flops / wall
     result = {
         "metric": "200frame_112x64x112_sequence_end_to_end_s",
         "value": round(wall, 1),
         "unit": "s",
         "frames": args.frames,
         "iters_per_octave": args.iters,
+        "warm_iters": args.warm_iters,
+        "warm_lr": args.warm_lr,
         "window": args.window,
         "fused_frames": args.fused,
         "s_per_frame_steady": round(
@@ -167,7 +182,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result), flush=True)
-    with open("BENCH_NORTHSTAR.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
 
 

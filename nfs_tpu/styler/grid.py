@@ -454,18 +454,19 @@ class GridStyler:
         return step_fn
 
     def _get_seq_step_block(self, full_shape: Tuple[int, ...],
-                            window: int):
+                            window: int, warm: bool = False):
         """Block-streamed per-frame step: dens holds one BLOCK of frames
         (indexed t_loc) and vels the block's velocity context, pre-padded
         with P = max(window, 1) halo frames on each side (edge frames
         replicated at the true sequence boundaries — matching the
         clamped indexing of the full-sequence step)."""
-        sig = ("seq_block", tuple(full_shape), window)
+        sig = ("seq_block", tuple(full_shape), window, warm)
         if sig in self._loss_cache:
             return self._loss_cache[sig]
         oc = self.cfg.optim
         P = max(window, 1)
-        octave_sweep = self._get_seq_step(full_shape, window).octave_sweep
+        octave_sweep = self._get_seq_step(full_shape, window,
+                                          warm=warm).octave_sweep
 
         def step_fn(param, t_glob, t_loc, key, dens, vels, data):
             d_full = dens[t_loc]
@@ -751,14 +752,8 @@ class GridStyler:
         last frame (None mid-block), usable for checkpointed restarts.
         """
         cfg = self.cfg
-        if (cfg.optim.warm_iters is not None
-                or cfg.optim.warm_lr is not None):
-            import warnings
-            warnings.warn(
-                "optim.warm_iters/warm_lr are not applied on the "
-                "block-streamed path; every frame runs the full "
-                "schedule (use stylize_sequence for the warm schedule)",
-                stacklevel=2)
+        warm_set = (cfg.optim.warm_iters is not None
+                    or cfg.optim.warm_lr is not None)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         param = None
         step_fn = None
@@ -769,10 +764,24 @@ class GridStyler:
                 vels_ctx = jnp.asarray(vels_ctx, jnp.float32)
             full_shape = tuple(dens_block.shape[1:])
             window = cfg.optim.window if vels_ctx is not None else 0
+            skip = 0
             if param is None:
                 param = self.init_param(full_shape)
+                if warm_set and t0 == 0:
+                    # cold frame 0 via the streaming path; the chain
+                    # frames below then run the warm executable
+                    P0 = max(window, 1)
+                    vels_win0 = (vels_ctx[P0 - window:P0 + window]
+                                 if window else None)
+                    d0, param, _ = self.stylize_frame(
+                        dens_block[0], vels=vels_win0,
+                        key=self._frame_key(key, 0), warm=False)
+                    yield 0, d0, (param if dens_block.shape[0] == 1
+                                  else None)
+                    skip = 1
             if step_fn is None:
-                step_fn = self._get_seq_step_block(full_shape, window)
+                step_fn = self._get_seq_step_block(full_shape, window,
+                                                   warm=warm_set)
             data = {"pool": self.view_pool, "vgg": self.vgg_params,
                     "targets": self.gram_targets,
                     "content": self.content_feats}
@@ -792,7 +801,7 @@ class GridStyler:
                     vels_ctx = jnp.concatenate(
                         [vels_ctx, jnp.repeat(vels_ctx[-1:], pad, axis=0)])
             chunk_std = min(fused, B_std)
-            for c0 in range(0, B, fused):
+            for c0 in range(skip, B, fused):
                 n = min(fused, B - c0)
                 nc = max(n, chunk_std)  # pad partial chunks, same reason
                 t_glob = jnp.minimum(
