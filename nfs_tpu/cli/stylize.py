@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opt_density", action="store_true")
     p.add_argument("--opt_color", action="store_true")
     p.add_argument("--keyframe_stride", type=int, default=10)
+    p.add_argument("--max_log_dens", type=float, default=None,
+                   help="bound the per-particle density factor to "
+                        "exp(+-x) (tanh-limited log scale)")
     p.add_argument("--grid_shape", type=int, nargs="+", default=None,
                    help="splat grid shape for particle mode")
     # parallel (no reference equivalent — single GPU there)
@@ -169,7 +172,8 @@ def config_from_args(args) -> StyleConfig:
             optimize_position=args.opt_position,
             optimize_density=args.opt_density,
             optimize_color=args.opt_color,
-            keyframe_stride=args.keyframe_stride),
+            keyframe_stride=args.keyframe_stride,
+            max_log_dens=args.max_log_dens),
         parallel=ParallelConfig(
             frames=args.mesh_frames or 1,
             views=args.mesh_views or 1,

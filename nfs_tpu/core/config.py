@@ -199,6 +199,12 @@ class ParticleConfig:
     keyframe_stride: int = 10
     # clamp on position offsets (cells)
     max_offset: float = 4.0
+    # optional bound on the per-particle density factor: exp(ddens)
+    # becomes exp(+-max_log_dens * tanh(ddens / max_log_dens)). None =
+    # unbounded (reference behavior) — but an unbounded exp() under a
+    # hot Adam lr can blow densities up by orders of magnitude (observed
+    # exp(9) at lr 0.12 x 160 iters); 2.0 bounds the factor to ~[0.14, 7.4]
+    max_log_dens: Optional[float] = None
     # splat implementation: 'auto' = 'binned_pallas' on TPU, 'binned'
     # elsewhere (resolved at trace time) | 'binned' = dense (cells, K)
     # XLA shift-window (ops/binsplat.py, 3.6-5.4x faster fwd+bwd on v5e

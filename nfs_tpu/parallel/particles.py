@@ -306,4 +306,5 @@ class ParallelKeyframeStyler:
                   for i, kf in enumerate(keyframes)}
         yield from interp_sequence(psets, keyframes, params,
                                    float(pc.max_offset),
-                                   apply_fn=styler.apply_param)
+                                   apply_fn=styler.apply_param,
+                                   max_log_dens=pc.max_log_dens)

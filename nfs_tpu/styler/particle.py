@@ -111,6 +111,16 @@ _binned_chunk = jax.jit(
     donate_argnums=(0, 1))
 
 
+def _dens_scale(ddens: jax.Array, max_log: Optional[float]) -> jax.Array:
+    """Multiplicative density factor exp(ddens), optionally bounded to
+    exp(+-max_log) via a smooth tanh limit (particle.max_log_dens) —
+    an unbounded exp() under a hot Adam lr can blow densities up by
+    orders of magnitude."""
+    if max_log is None:
+        return jnp.exp(ddens)
+    return jnp.exp(max_log * jnp.tanh(ddens / max_log))
+
+
 @partial(jax.jit, static_argnames=("shps", "base"))
 def _octave_max_counts(p, shps, base):
     """Max bin occupancy for every octave shape in one dispatch (module
@@ -186,7 +196,7 @@ class ParticleStyler:
             x = x + dx
         dens = data["dens"]
         if "ddens" in param:
-            dens = dens * jnp.exp(param["ddens"])
+            dens = dens * _dens_scale(param["ddens"], pc.max_log_dens)
         xs = x * scale
         d_grid = splat(xs, dens, shape, kernel=pc.kernel,
                        support=pc.support)
@@ -323,7 +333,8 @@ class ParticleStyler:
                 pb = xb * scale
             dens_eff = densb
             if "ddens" in param_b:
-                dens_eff = densb * jnp.exp(param_b["ddens"])
+                dens_eff = densb * _dens_scale(param_b["ddens"],
+                                               pc.max_log_dens)
             if "color" in param_b:
                 colb = jnp.clip(param_b["color"], 0.0, 1.0)
                 ones = jnp.ones_like(dens_eff)
@@ -564,7 +575,7 @@ class ParticleStyler:
         if "dx" in param:
             x = x + pc.max_offset * jnp.tanh(param["dx"] / pc.max_offset)
         if "ddens" in param:
-            dens = dens * jnp.exp(param["ddens"])
+            dens = dens * _dens_scale(param["ddens"], pc.max_log_dens)
         color = param.get("color", pset.color)
         return ParticleSet(x=x, dens=dens, color=color, vel=pset.vel)
 
@@ -604,7 +615,9 @@ class ParticleStyler:
 
         yield from interp_sequence(psets, keyframes, params,
                                    float(self.cfg.particle.max_offset),
-                                   apply_fn=self.apply_param)
+                                   apply_fn=self.apply_param,
+                                   max_log_dens=self.cfg.particle
+                                   .max_log_dens)
 
 
 def interpolate_attrs(param0: Dict, param1: Dict, alpha: float) -> Dict:
@@ -621,7 +634,8 @@ def keyframe_indices(T: int, stride: int):
     return kfs
 
 
-def interp_sequence(psets, keyframes, params, max_offset, apply_fn):
+def interp_sequence(psets, keyframes, params, max_offset, apply_fn,
+                    max_log_dens=None):
     """Segment-batched keyframe interpolation: ONE jitted dispatch per
     keyframe segment (LNST §5 attribute interpolation along particle
     identity). The per-frame eager lerp + apply was ~8 remote dispatches
@@ -646,17 +660,19 @@ def interp_sequence(psets, keyframes, params, max_offset, apply_fn):
              if psets[t].dens is not None
              else jnp.ones((n,), jnp.float32)) for t in ts])
         xo, do, co = _interp_apply_segment(
-            params[k0], params[k1], alphas, x, dens, max_offset)
+            params[k0], params[k1], alphas, x, dens, max_offset,
+            max_log_dens)
         for i, t in enumerate(ts):
             color = co[i] if co is not None else psets[t].color
             yield t, ParticleSet(x=xo[i], dens=do[i], color=color,
                                  vel=psets[t].vel)
 
 
-@partial(jax.jit, static_argnames=("max_offset",))
+@partial(jax.jit, static_argnames=("max_offset", "max_log_dens"))
 def _interp_apply_segment(p0: Dict, p1: Dict, alphas: jax.Array,
                           x: jax.Array, dens: jax.Array,
-                          max_offset: float):
+                          max_offset: float,
+                          max_log_dens=None):
     """Fused keyframe-segment interpolation + attribute application.
 
     Lerps the two keyframe param dicts at every alpha and applies the
@@ -682,5 +698,5 @@ def _interp_apply_segment(p0: Dict, p1: Dict, alphas: jax.Array,
     if "dx" in p:
         x = x + max_offset * jnp.tanh(p["dx"] / max_offset)
     if "ddens" in p:
-        dens = dens * jnp.exp(p["ddens"])
+        dens = dens * _dens_scale(p["ddens"], max_log_dens)
     return x, dens, p.get("color")

@@ -385,6 +385,40 @@ class TestParticleStyler3D:
         assert grid.shape == (24, 24, 24)
         assert np.isfinite(np.asarray(grid)).all()
 
+    def test_max_log_dens_bounds_density(self):
+        # particle.max_log_dens: the per-particle density factor is
+        # tanh-bounded in log space — a hot lr cannot blow exp(ddens) up
+        rng = np.random.default_rng(3)
+        n = 300
+        x = jnp.asarray(4.0 + rng.random((n, 3)) * 16.0, jnp.float32)
+        pset = ParticleSet(x=x, dens=jnp.ones((n,), jnp.float32))
+        cfg = tiny_cfg(**{
+            "optim.iters": 12, "optim.octave_n": 1, "optim.lr": 0.5,
+            "render.n_views": 2, "render.transmit": 0.3,
+            "particle.optimize_position": False,
+            "particle.optimize_density": True,
+            "particle.max_log_dens": 1.0,
+        })
+        styler = ParticleStyler(cfg, grid_shape=(24, 24, 24),
+                                style_image=style_img())
+        styled, param, _ = styler.stylize_frame(pset)
+        scale = np.asarray(styled.dens) / np.asarray(pset.dens)
+        assert scale.max() <= np.exp(1.0) + 1e-4
+        assert scale.min() >= np.exp(-1.0) - 1e-4
+        # unbounded default at the same hot lr exceeds the bound
+        cfg_u = tiny_cfg(**{
+            "optim.iters": 12, "optim.octave_n": 1, "optim.lr": 0.5,
+            "render.n_views": 2, "render.transmit": 0.3,
+            "particle.optimize_position": False,
+            "particle.optimize_density": True,
+        })
+        st_u = ParticleStyler(cfg_u, grid_shape=(24, 24, 24),
+                              style_image=style_img())
+        styled_u, _, _ = st_u.stylize_frame(pset)
+        scale_u = np.asarray(styled_u.dens) / np.asarray(pset.dens)
+        assert (scale_u.max() > np.exp(1.0)
+                or scale_u.min() < np.exp(-1.0))
+
     def test_grid_coarse_mode(self):
         # particle.coarse_mode='grid': octaves below full resolution
         # optimize a multiplicative density FIELD (no per-iteration
