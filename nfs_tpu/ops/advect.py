@@ -122,17 +122,22 @@ def advect(field: jax.Array, vel: jax.Array, dt: float = 1.0,
         formulation (see _advect_window) — displacements are clamped to
         +-max_disp cells. None = exact gather path (arbitrary
         displacement, slow transposes on TPU).
-      impl: window-path backend. 'xla' (and 'auto') uses the XLA window
-        formulation; 'pallas' forces the fused Pallas slab kernels
-        (nfs_tpu/ops/pallas_advect.py; 3D scalar clamp-mode only) —
-        measured 2.8x faster FORWARD on v5e at 112x64x112 (0.89 vs
-        2.48 ms) but only ~1.1x on the full VJP, and slower at
-        small/narrow shapes where its 128-lane padding dominates, so it
-        is opt-in for forward-heavy large-volume paths rather than the
-        default.
+      impl: window-path backend. 'auto' resolves to the fused Pallas
+        slab kernels on TPU for 3D scalar clamp-mode fields and the XLA
+        window otherwise; 'xla'/'pallas' force a backend. Honest scanned
+        device-time at 112x64x112, max_disp 2 on v5e: Pallas fwd+field-
+        grad 2.3 ms vs XLA 8.9 ms (~4x; an earlier "only 1.1x on the
+        VJP" figure was a per-dispatch measurement corrupted by the
+        remote tunnel's dispatch floor — see bench/stages.py). Values
+        AND both grads match the XLA window to float rounding (hardware-
+        checked; tests cover interpret mode).
     """
     if max_disp is not None:
-        if impl == "pallas":
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu"
+            and field.ndim == 3 and vel.shape == field.shape + (3,)
+            and mode == "clamp")
+        if use_pallas:
             if not (field.ndim == 3 and vel.shape == field.shape + (3,)
                     and mode == "clamp"):
                 raise ValueError(

@@ -98,15 +98,21 @@ class ParallelSequenceStyler:
                 # the single-device window loss — bitwise-equal total,
                 # bigger MXU conv batches)
                 md = cfg.optim.max_disp
+                # impl='xla': this loss is vmapped over local frames
+                # (sharding.py) — batching the Pallas slab kernels is
+                # unvalidated on hardware, so the engine pins the XLA
+                # window (single-device paths resolve 'auto' to Pallas)
                 states = [None] * (2 * window + 1)
                 states[window] = d_star
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, vels_w[window + j - 1], max_disp=md)
+                    d_j = advect(d_j, vels_w[window + j - 1], max_disp=md,
+                                 impl="xla")
                     states[window + j] = d_j
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, -vels_w[window - j], max_disp=md)
+                    d_j = advect(d_j, -vels_w[window - j], max_disp=md,
+                                 impl="xla")
                     states[window - j] = d_j
                 imgs = jnp.stack([render_imgs(s, views_i)
                                   for s in states])    # (P, nv, H, W, 3)

@@ -67,6 +67,16 @@ def prepare_spatial(styler, mesh: Mesh) -> None:
     as mesh-replicated so jitted calls with spatially-sharded volumes see
     a consistent device set (mixed single-device commitments otherwise
     fail placement). Idempotent."""
+    oc = getattr(styler.cfg, "optim", None)
+    if (oc is not None and oc.advect_impl == "auto"
+            and len(mesh.devices.flatten()) > 1
+            and jax.default_backend() == "tpu"):
+        import warnings
+        warnings.warn(
+            "spatial sharding with optim.advect_impl='auto': the GSPMD "
+            "partitioner cannot shard the Pallas advect kernels — set "
+            "optim.advect_impl='xla' for spatially-sharded runs with "
+            "window/velocity advection", stacklevel=2)
     for name in ("view_pool", "vgg_params", "gram_targets",
                  "content_feats"):
         val = getattr(styler, name, None)

@@ -210,7 +210,8 @@ class GridStyler:
                      ) -> jax.Array:
         if self.cfg.optim.parameterization == "velocity":
             return advect(d_base, opt_var,
-                          max_disp=self.cfg.optim.param_max_disp)
+                          max_disp=self.cfg.optim.param_max_disp,
+                          impl=self.cfg.optim.advect_impl)
         return d_base + opt_var
 
     def _image_loss_weighted(self, imgs: jax.Array, pos_weights,
@@ -330,15 +331,18 @@ class GridStyler:
                 # all 2W+1 window states (TNST §6: center + forward
                 # transport through sim velocities + backward inverse)
                 md = cfg.optim.max_disp
+                impl = cfg.optim.advect_impl
                 states = [None] * (2 * window + 1)
                 states[window] = d_star
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, vels[window + j - 1], max_disp=md)
+                    d_j = advect(d_j, vels[window + j - 1], max_disp=md,
+                                 impl=impl)
                     states[window + j] = d_j
                 d_j = d_star
                 for j in range(1, window + 1):
-                    d_j = advect(d_j, -vels[window - j], max_disp=md)
+                    d_j = advect(d_j, -vels[window - j], max_disp=md,
+                                 impl=impl)
                     states[window - j] = d_j
                 if cfg.loss.remat_views and d_star.ndim == 3:
                     # memory-bound regime: keep the sequential per-view
