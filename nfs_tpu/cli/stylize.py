@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fixed_view_schedule", action="store_true",
                    help="same per-iteration view draws for every frame "
                         "(temporal-coherence lever)")
+    p.add_argument("--train_transfer", action="store_true",
+                   help="jointly optimize the transfer-function control "
+                        "points with the density (single-frame grid "
+                        "mode; requires --transfer_fn)")
     p.add_argument("--transfer_fn", default=None,
                    help="density->RGB transfer function for colored "
                         "rendering: builtin colormap (fire, ice, viridis,"
@@ -154,7 +158,8 @@ def config_from_args(args) -> StyleConfig:
             phi0=args.phi0, phi1=args.phi1, sample_type=args.sample_type,
             gamma=args.gamma, transfer_fn=args.transfer_fn,
             tf_max_density=args.tf_max_density,
-            fixed_view_schedule=args.fixed_view_schedule),
+            fixed_view_schedule=args.fixed_view_schedule,
+            train_transfer=args.train_transfer),
         loss=LossConfig(
             style_target=args.style_target, style_layers=layers,
             style_layer_weights=lw, w_style=args.w_style,
@@ -338,6 +343,10 @@ def main(argv=None):
             d_star, _, info = styler.stylize_frame(d, checkpoint_path=ckpt)
             dt = time.time() - t0
             out_store.save_density(t, np.asarray(d_star))
+            if "tf_nodes" in info:  # --train_transfer: export the
+                # trained control points for render-CLI reuse
+                np.savez(os.path.join(out_dir, f"tf_{t:04d}.npz"),
+                         nodes=np.asarray(info["tf_nodes"]))
             preview(t, d_star)
             losses = [float(l[-1]) for l in info["octave_losses"]]
             n_iters = cfg.optim.iters * cfg.optim.octave_n

@@ -57,6 +57,13 @@ class RenderConfig:
     sample_type: str = "poisson"
     # number of precomputed Poisson-disk view sets cycled during optimization
     view_pool: int = 64
+    # jointly OPTIMIZE the transfer function's control points with the
+    # density field (the hat-basis expansion in render/transfer.py is
+    # differentiable in its nodes): the styler's param becomes the
+    # pytree {'field', 'tf'} and the trained nodes come back in
+    # info['tf_nodes']. Single-frame path only (sequence paths hold the
+    # TF fixed); requires transfer_fn to seed the nodes.
+    train_transfer: bool = False
     # use the SAME per-iteration view schedule for every frame of a
     # sequence (per-frame PRNG keys stop folding in the frame index).
     # Each frame still cycles the full view pool across iterations, but

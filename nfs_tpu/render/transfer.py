@@ -93,9 +93,14 @@ def tf_from_image(path: str, n_nodes: int = 8) -> np.ndarray:
 def resolve_transfer(name: Optional[str],
                      n_nodes: int = 8) -> Optional[np.ndarray]:
     """Config string -> (N, 3) nodes: a builtin colormap name, a path to
-    a gradient image, or None (grayscale rendering, reference behavior)."""
+    a gradient image, a trained-nodes ``.npz`` (``nodes`` key — the
+    render.train_transfer export), or None (grayscale rendering,
+    reference behavior)."""
     if name is None or name == "":
         return None
     if name in COLORMAPS:
         return COLORMAPS[name]
+    if name.endswith(".npz"):
+        with np.load(name) as z:
+            return np.asarray(z["nodes"], np.float32)
     return tf_from_image(name, n_nodes)

@@ -165,30 +165,36 @@ class GridStyler:
             key, rc.n_views, (rc.theta0, rc.theta1), (rc.phi0, rc.phi1))
 
     def _render(self, d_star: jax.Array, key: jax.Array, pool,
-                render_size=None) -> jax.Array:
-        """d* -> (N, H, W, 3) images for the CNN."""
+                render_size=None, tf_nodes=None) -> jax.Array:
+        """d* -> (N, H, W, 3) images for the CNN. tf_nodes overrides the
+        styler's static transfer function (render.train_transfer threads
+        the TRAINED control points through here)."""
         rc = self.cfg.render
         render_size = render_size or rc.render_size
+        tf = self.tf_nodes if tf_nodes is None else tf_nodes
         if d_star.ndim == 2:
             return render2d(d_star, out_size=render_size, gamma=rc.gamma,
-                            tf_nodes=self.tf_nodes,
+                            tf_nodes=tf,
                             tf_max=rc.tf_max_density)[None]
         views = self._sample_views(key, pool)
         return render_views(d_star, views[:, 0], views[:, 1],
                             transmit=rc.transmit, out_size=render_size,
                             gamma=rc.gamma, method=rc.rotation,
-                            tf_nodes=self.tf_nodes,
+                            tf_nodes=tf,
                             tf_max=rc.tf_max_density)
 
-    def _render_loss(self, d_star, key, pool, render_size, data):
+    def _render_loss(self, d_star, key, pool, render_size, data,
+                     tf_nodes=None):
         """Render views of d_star and evaluate the image loss; with
         loss.remat_views, views are evaluated sequentially under
         jax.checkpoint (peak memory / n_views, recompute in bwd)."""
         lc = self.cfg.loss
         rc = self.cfg.render
+        tf = self.tf_nodes if tf_nodes is None else tf_nodes
         if d_star.ndim == 2 or not lc.remat_views:
             return self._image_loss(
-                self._render(d_star, key, pool, render_size), data)
+                self._render(d_star, key, pool, render_size,
+                             tf_nodes=tf), data)
 
         from nfs_tpu.render.raymarch import render_volume
 
@@ -197,17 +203,18 @@ class GridStyler:
         def one_view(v):
             img = render_volume(d_star, v[0], v[1], transmit=rc.transmit,
                                 out_size=render_size, gamma=rc.gamma,
-                                method=rc.rotation, tf_nodes=self.tf_nodes,
+                                method=rc.rotation, tf_nodes=tf,
                                 tf_max=rc.tf_max_density)
-            if self.tf_nodes is None:
+            if tf is None:
                 img = jnp.repeat(img[..., None], 3, axis=-1)
             return self._image_loss(img[None], data)
 
         losses = jax.lax.map(jax.checkpoint(one_view), views)
         return jnp.mean(losses)
 
-    def _apply_param(self, opt_var: jax.Array, d_base: jax.Array
-                     ) -> jax.Array:
+    def _apply_param(self, opt_var, d_base: jax.Array) -> jax.Array:
+        if isinstance(opt_var, dict):  # render.train_transfer pytree
+            opt_var = opt_var["field"]
         if self.cfg.optim.parameterization == "velocity":
             return advect(d_base, opt_var,
                           max_disp=self.cfg.optim.param_max_disp,
@@ -317,14 +324,22 @@ class GridStyler:
 
         cfg = self.cfg
         weights = self._window_weights(window) if window else None
+        # render.train_transfer: opt_var is {'field', 'tf'} — the TF
+        # control points are optimized jointly (clipped to [0,1]); the
+        # hat-basis expansion (render/transfer.py) is differentiable in
+        # its nodes. Single-frame (window=0) scope.
+        train_tf = (cfg.render.train_transfer
+                    and self.tf_nodes is not None)
 
         def loss_fn(opt_var, key, data):
             d_base = data["d"]
             pool = data["pool"]
+            tf = (jnp.clip(opt_var["tf"], 0.0, 1.0) if train_tf
+                  else None)
             d_star = self._apply_param(opt_var, d_base)
             if window == 0:
                 total = self._render_loss(d_star, key, pool, render_size,
-                                          data)
+                                          data, tf_nodes=tf)
             else:
                 vels = data["vels"]
                 keys = jax.random.split(key, 2 * window + 1)
@@ -507,8 +522,11 @@ class GridStyler:
             return advect_maccormack(param, v, max_disp=oc.max_disp)
         return advect(param, v, max_disp=oc.max_disp)
 
-    def _resize_param(self, param: jax.Array, shape: Tuple[int, ...]
-                      ) -> jax.Array:
+    def _resize_param(self, param, shape: Tuple[int, ...]):
+        if isinstance(param, dict):  # render.train_transfer pytree:
+            # only the field lives on the octave grid; tf nodes carry over
+            return dict(param,
+                        field=self._resize_param(param["field"], shape))
         if tuple(param.shape[:len(shape)]) == tuple(shape):
             return param
         is_vel = self.cfg.optim.parameterization == "velocity"
@@ -560,6 +578,20 @@ class GridStyler:
         shapes = octave_shapes(full_shape, oc.octave_n, oc.octave_scale)
         param = (init_param if init_param is not None
                  else self.init_param(full_shape))
+        train_tf = cfg.render.train_transfer and self.tf_nodes is not None
+        if train_tf:
+            if window:
+                raise ValueError(
+                    "render.train_transfer supports the single-frame "
+                    "path only (window=0); sequence paths hold the "
+                    "transfer function fixed")
+            if not isinstance(param, dict):
+                # COPY the nodes: run_octave donates param buffers, and
+                # jnp.asarray of a device array is a no-op — donating the
+                # styler's own tf_nodes deletes it
+                param = {"field": param,
+                         "tf": jnp.array(self.tf_nodes, jnp.float32,
+                                         copy=True)}
         info = {"octave_losses": []}
 
         # resume from an in-frame checkpoint
@@ -585,6 +617,10 @@ class GridStyler:
                         f"or delete the checkpoint to restart the frame.")
             o = int(meta["octave"])
             p_like = self.init_param(shapes[o])
+            if train_tf:
+                p_like = {"field": p_like,
+                          "tf": jnp.array(self.tf_nodes, jnp.float32,
+                                          copy=True)}
             like = {"param": p_like,
                     "opt_state": opt_eff.init(p_like)}
             state, _ = load_checkpoint(checkpoint_path, like)
@@ -641,6 +677,10 @@ class GridStyler:
             os.unlink(checkpoint_path)
         d_star = self._apply_param(param, d_full)
         d_star = jnp.maximum(d_star, 0.0)
+        if train_tf:
+            # the trained control points, ready for render CLI reuse /
+            # export (render/transfer.py hat basis)
+            info["tf_nodes"] = jnp.clip(param["tf"], 0.0, 1.0)
         return d_star, param, info
 
     def stylize_sequence(self, densities, velocities=None, key=None,
@@ -686,6 +726,11 @@ class GridStyler:
         device array across chunks raises "Array has been deleted".
         """
         cfg = self.cfg
+        if cfg.render.train_transfer and self.tf_nodes is not None:
+            raise ValueError(
+                "render.train_transfer is a single-frame feature "
+                "(stylize_frame); sequence paths advect the param "
+                "between frames and hold the transfer function fixed")
         W = cfg.optim.window
         T = len(densities)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)

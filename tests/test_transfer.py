@@ -169,3 +169,46 @@ def test_particle_styler_transfer_fn_end_to_end():
     losses = np.asarray(info["octave_losses"][0])
     assert np.isfinite(losses).all()
     assert float(jnp.abs(styled.x - pset.x).max()) > 1e-7
+
+
+def test_train_transfer_single_frame():
+    # render.train_transfer: the TF control points join the optimization
+    # pytree — the trained nodes must move, come back clipped in
+    # info['tf_nodes'], and the loss must decrease. Sequence paths
+    # refuse (they advect the param between frames).
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.styler.grid import GridStyler
+
+    rng = np.random.default_rng(0)
+    cfg = replace(StyleConfig(), **{
+        "render.render_size": (32, 32),
+        "render.n_views": 2,
+        "render.view_pool": 4,
+        "render.transmit": 0.4,
+        "render.transfer_fn": "fire",
+        "render.train_transfer": True,
+        "optim.octave_n": 2,
+        "optim.octave_scale": 2.0,
+        "optim.iters": 5,
+        "optim.lr": 0.05,
+        "loss.style_layers": ("relu1_1",),
+        "loss.style_layer_weights": (1.0,),
+    })
+    style = rng.random((32, 32, 3)).astype(np.float32)
+    styler = GridStyler(cfg, style_image=style)
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in (16, 12, 16)],
+                             indexing="ij")
+    d = np.exp(-4 * (zz ** 2 + yy ** 2 + xx ** 2)).astype(np.float32)
+    d_star, param, info = styler.stylize_frame(d)
+    assert isinstance(param, dict) and set(param) == {"field", "tf"}
+    tf0 = np.asarray(styler.tf_nodes)
+    tf1 = np.asarray(info["tf_nodes"])
+    assert tf1.shape == tf0.shape
+    assert np.abs(tf1 - tf0).max() > 1e-6, "TF nodes did not train"
+    assert tf1.min() >= 0.0 and tf1.max() <= 1.0
+    losses = np.asarray(info["octave_losses"][0])
+    assert losses[-1] < losses[0]
+    assert np.isfinite(np.asarray(d_star)).all()
+    # sequence path refuses loudly
+    with pytest.raises(ValueError, match="train_transfer"):
+        list(styler.stylize_sequence(np.stack([d, d])))
