@@ -25,7 +25,9 @@ rank-major (slot = rank * n_cells + cell) so the dense region reshapes to
 (K, *padded_shape) with the large x-axis minor, and the 27-tap window is
 computed in that layout end to end.
 
-Semantics match ``splat(kernel='bspline', support=1.0)`` exactly: the
+Semantics match ``splat(kernel=..., support=1.0)`` exactly for both
+supported kernels — 'bspline' (3^d taps, default) and 'linear' (tent/CIC,
+2^d taps — the standard PIC/FLIP transfer, ~3x fewer taps in 3D): the
 domain is padded by PAD=2 cells per side so boundary particles keep their
 in-bounds taps while out-of-bounds taps are cropped (the flat scatter's
 ``mode='drop'``).
@@ -75,17 +77,33 @@ def padded_shape(shape: Sequence[int]) -> Tuple[int, ...]:
     return tuple(int(s) + 2 * PAD for s in shape)
 
 
-def _base_cells(p: jax.Array, shape: Sequence[int]) -> jax.Array:
-    """Quadratic-B-spline base cell in PADDED coordinates, clamped so all
-    particles (even far out of bounds) own a padded bin; weights vanish
-    beyond the kernel support, so clamped strays contribute nothing."""
-    base = jnp.floor(p - 0.5).astype(jnp.int32) + PAD
-    hi = jnp.asarray([int(s) + 2 * PAD - 3 for s in shape], jnp.int32)
+def n_taps(kernel: str) -> int:
+    """Per-axis window width: quadratic B-spline covers 3 cells, the
+    linear tent (CIC, the standard PIC/FLIP transfer) covers 2."""
+    if kernel == "bspline":
+        return 3
+    if kernel == "linear":
+        return 2
+    raise ValueError(f"binned splat supports 'bspline'|'linear', "
+                     f"got {kernel!r}")
+
+
+def _base_cells(p: jax.Array, shape: Sequence[int],
+                kernel: str = "bspline") -> jax.Array:
+    """Kernel base cell in PADDED coordinates (bspline: floor(p - 0.5),
+    taps base..base+2; linear: floor(p), taps base..base+1), clamped so
+    all particles (even far out of bounds) own a padded bin; weights
+    vanish beyond the kernel support, so clamped strays contribute
+    nothing."""
+    t = n_taps(kernel)
+    base = (jnp.floor(p - 0.5 * (t - 2)).astype(jnp.int32) + PAD)
+    hi = jnp.asarray([int(s) + 2 * PAD - t for s in shape], jnp.int32)
     return jnp.clip(base, 0, hi)
 
 
-def _flat_base(p: jax.Array, shape: Sequence[int]) -> jax.Array:
-    base = _base_cells(p, shape)
+def _flat_base(p: jax.Array, shape: Sequence[int],
+               kernel: str = "bspline") -> jax.Array:
+    base = _base_cells(p, shape, kernel)
     pshape = padded_shape(shape)
     flat = base[:, 0]
     for d in range(1, len(pshape)):
@@ -93,9 +111,10 @@ def _flat_base(p: jax.Array, shape: Sequence[int]) -> jax.Array:
     return flat
 
 
-def max_bin_count(p: jax.Array, shape: Sequence[int]) -> jax.Array:
+def max_bin_count(p: jax.Array, shape: Sequence[int],
+                  kernel: str = "bspline") -> jax.Array:
     """Device scalar: max particles sharing one base cell (sizes K)."""
-    flat = _flat_base(jax.lax.stop_gradient(p), shape)
+    flat = _flat_base(jax.lax.stop_gradient(p), shape, kernel)
     n_cells = int(np.prod(padded_shape(shape)))
     counts = jnp.zeros((n_cells,), jnp.int32).at[flat].add(1)
     return jnp.max(counts)
@@ -111,17 +130,19 @@ def bucket_k(k: int, cap: int = 4096) -> int:
     return min(k + (k % 2), cap)
 
 
-@partial(jax.jit, static_argnames=("shape", "K"))
-def bin_particles(p: jax.Array, shape: Tuple[int, ...], K: int) -> Binning:
+@partial(jax.jit, static_argnames=("shape", "K", "kernel"))
+def bin_particles(p: jax.Array, shape: Tuple[int, ...], K: int,
+                  kernel: str = "bspline") -> Binning:
     """Assign each particle a slot = rank * n_cells + base cell; ranks
     >= K park the particle (see Binning). Size K from ``max_bin_count``
     (+ headroom for drift) so overflow stays rare. Non-differentiable by
-    construction (int-valued)."""
+    construction (int-valued). The kernel decides the base-cell rule, so
+    binning and ``splat_binned`` must use the same one."""
     p = jax.lax.stop_gradient(p)
     n = p.shape[0]
     n_cells = int(np.prod(padded_shape(shape)))
     n_slots = n_cells * K
-    flat = _flat_base(p, shape)
+    flat = _flat_base(p, shape, kernel)
     order = jnp.argsort(flat)                      # sorted by cell
     flat_s = flat[order]
     ar = jnp.arange(n, dtype=jnp.int32)
@@ -162,22 +183,28 @@ def from_binned(binning: Binning, arr: jax.Array) -> jax.Array:
     return arr[:, binning.slot].T
 
 
-@partial(jax.jit, static_argnames=("shape", "K"))
+@partial(jax.jit, static_argnames=("shape", "K", "kernel"))
 def splat_binned(p_b: jax.Array, attr_b: jax.Array, valid: jax.Array,
-                 shape: Tuple[int, ...], K: int) -> jax.Array:
+                 shape: Tuple[int, ...], K: int,
+                 kernel: str = "bspline") -> jax.Array:
     """Dense-window splat of binned particles.
 
     Args:
       p_b: (dim, n_slots [+ N]) binned positions in UNPADDED grid
-        coordinates (as given to ``bin_particles``; may include
-        differentiable offsets — the position gradient flows through the
-        weights). The parking region is ignored.
+        coordinates (as given to ``bin_particles`` with the SAME kernel;
+        may include differentiable offsets — the position gradient flows
+        through the weights). The parking region is ignored.
       attr_b: (n_slots [+ N],) or (C, n_slots [+ N]) binned attributes.
       valid: (n_slots,) bool from the Binning.
       shape: unpadded output grid shape.
+      kernel: 'bspline' (3^d-tap quadratic, default) | 'linear' (2^d-tap
+        tent/CIC — the standard PIC/FLIP transfer; ~3x fewer taps in 3D,
+        trading splat smoothness for per-iteration speed).
 
-    Returns: (*shape,) or (*shape, C) grid == flat bspline splat.
+    Returns: (*shape,) or (*shape, C) grid == the flat splat with the
+    same kernel at support=1.
     """
+    T = n_taps(kernel)
     ndim = len(shape)
     pshape = padded_shape(shape)
     has_c = attr_b.ndim == 2
@@ -199,10 +226,15 @@ def splat_binned(p_b: jax.Array, attr_b: jax.Array, valid: jax.Array,
         frac.append(p_b[d, :n_slots].reshape((K,) + pshape)
                     + jnp.float32(PAD) - coord)
 
-    def w1d(u):
-        au = jnp.abs(u)
-        return jnp.where(au < 0.5, 0.75 - au * au,
-                         jnp.where(au < 1.5, 0.5 * (1.5 - au) ** 2, 0.0))
+    if kernel == "linear":
+        def w1d(u):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+    else:
+        def w1d(u):
+            au = jnp.abs(u)
+            return jnp.where(au < 0.5, 0.75 - au * au,
+                             jnp.where(au < 1.5, 0.5 * (1.5 - au) ** 2,
+                                       0.0))
 
     # rematerialized: without checkpoint, AD keeps every tap's weight
     # intermediates alive (3^d taps x several (K, cells) arrays). Taps
@@ -210,18 +242,18 @@ def splat_binned(p_b: jax.Array, attr_b: jax.Array, valid: jax.Array,
     # trade (the styler loss OOM'd 27 GB without it).
     @jax.checkpoint
     def window(frac, a):
-        # factorized per-axis weights: 3*ndim w1d evaluations shared by
-        # all 3^ndim taps (vs 3^ndim*ndim when evaluated per tap)
-        W = [[w1d(jnp.float32(o) - frac[d]) for o in range(3)]
+        # factorized per-axis weights: T*ndim w1d evaluations shared by
+        # all T^ndim taps (vs T^ndim*ndim when evaluated per tap)
+        W = [[w1d(jnp.float32(o) - frac[d]) for o in range(T)]
              for d in range(ndim)]
         out = jnp.zeros((C,) + pshape, a.dtype)
-        for off in itertools.product(range(3), repeat=ndim):
+        for off in itertools.product(range(T), repeat=ndim):
             ws = [W[d][off[d]] for d in range(ndim)]
             # contract over K without materializing (C, K, cells)
             contrib = jnp.einsum("k...,k...,k...,ck...->c..." if ndim == 3
                                  else "k...,k...,ck...->c...", *ws, a)
             # bin b's tap `off` lands at padded cell b + off (always in
-            # bounds: base is clamped to <= pshape - 3)
+            # bounds: base is clamped to <= pshape - n_taps)
             pads = [(0, 0)] + [(off[d], 0) for d in range(ndim)]
             out = out + jnp.pad(contrib, pads)[
                 (slice(None),) + tuple(slice(0, pshape[d])

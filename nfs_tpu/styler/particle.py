@@ -55,7 +55,8 @@ from nfs_tpu.styler.octave import run_octave
 
 
 def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
-                       shape, K, scale, max_offset, has_dx):
+                       shape, K, scale, max_offset, has_dx,
+                       kernel="bspline"):
     """One rebin + R optimizer iterations, all in a single dispatch.
 
     Bins at the chunk-start positions, permutes param AND Adam state into
@@ -70,7 +71,7 @@ def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
         p = (x + dx) * scale
     else:
         p = x * scale
-    bn = bin_particles(p, shape, K)
+    bn = bin_particles(p, shape, K, kernel=kernel)
     n_slots = bn.valid.shape[0]
 
     def _to_b(tree):        # canonical (N, ...) leaves -> binned
@@ -107,7 +108,7 @@ def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
 _binned_chunk = jax.jit(
     _binned_chunk_core,
     static_argnames=("loss_fn", "optimizer", "shape", "K", "scale",
-                     "max_offset", "has_dx"),
+                     "max_offset", "has_dx", "kernel"),
     donate_argnums=(0, 1))
 
 
@@ -121,12 +122,13 @@ def _dens_scale(ddens: jax.Array, max_log: Optional[float]) -> jax.Array:
     return jnp.exp(max_log * jnp.tanh(ddens / max_log))
 
 
-@partial(jax.jit, static_argnames=("shps", "base"))
-def _octave_max_counts(p, shps, base):
+@partial(jax.jit, static_argnames=("shps", "base", "kernel"))
+def _octave_max_counts(p, shps, base, kernel="bspline"):
     """Max bin occupancy for every octave shape in one dispatch (module
     level so repeated stylize_frame calls reuse one traced executable —
     a per-call inner jit retraced + host-synced every frame)."""
-    return jnp.stack([max_bin_count(p * (s[0] / base), s) for s in shps])
+    return jnp.stack([max_bin_count(p * (s[0] / base), s, kernel)
+                      for s in shps])
 
 
 class ParticleStyler:
@@ -298,19 +300,23 @@ class ParticleStyler:
     def _get_binned_loss_fn(self, shape: Tuple[int, ...], scale: float,
                             K: int):
         """Loss over the dense binned layout (ops/binsplat.py). Matches
-        `_get_loss_fn` semantics for kernel='bspline', support=1; density,
-        color and the color-normalization denominator share ONE window
-        pass (channels of the same splat)."""
+        `_get_loss_fn` semantics for kernel in ('bspline', 'linear') at
+        support=1; density, color and the color-normalization denominator
+        share ONE window pass (channels of the same splat)."""
         rsize = self._octave_render_size(scale)
         pc = self.cfg.particle
-        sig = ("binned", pc.splat_impl, shape, round(scale, 6), K, rsize)
+        sig = ("binned", pc.splat_impl, pc.kernel, shape, round(scale, 6),
+               K, rsize)
         if sig in self._loss_cache:
             return self._loss_cache[sig]
         impl = pc.splat_impl
         if impl == "auto":  # fused Pallas kernels on TPU, XLA elsewhere
             impl = ("binned_pallas" if jax.default_backend() == "tpu"
                     else "binned")
-        use_pallas = impl == "binned_pallas" and len(shape) == 3
+        # the Pallas kernels implement the 27-tap bspline window only;
+        # the 8-tap linear window is cheap enough that XLA's fusion wins
+        use_pallas = (impl == "binned_pallas" and len(shape) == 3
+                      and pc.kernel == "bspline")
 
         def _splat(pb, attr, valid):
             # fused Pallas VMEM window for the 3D single-channel case
@@ -320,7 +326,8 @@ class ParticleStyler:
             if use_pallas and attr.ndim == 1:
                 from nfs_tpu.ops.pallas_binsplat import splat_binned_pallas
                 return splat_binned_pallas(pb, attr, valid, shape, K)
-            return splat_binned(pb, attr, valid, shape, K)
+            return splat_binned(pb, attr, valid, shape, K,
+                                kernel=pc.kernel)
 
         def loss_fn(param_b, key, data_b):
             # binned leaves are slot-minor: xb/dxb (dim, S), densb (S,),
@@ -422,13 +429,14 @@ class ParticleStyler:
         entries are None where the slot budget is blown."""
         pc = self.cfg.particle
         if (pc.splat_impl not in ("auto", "binned", "binned_pallas")
-                or pc.kernel != "bspline" or pc.support != 1.0):
+                or pc.kernel not in ("bspline", "linear")
+                or pc.support != 1.0):
             return None
         if kmaxes is None:
             p = x + dx if dx is not None else x
             kmaxes = np.asarray(_octave_max_counts(
                 p, tuple(tuple(s) for s in shapes),
-                float(self.grid_shape[0])))
+                float(self.grid_shape[0]), kernel=pc.kernel))
         ks = []
         for kmax, shape in zip(kmaxes, shapes):
             # +1 headroom: within-chunk drift is <= ~lr*rebin_every cells
