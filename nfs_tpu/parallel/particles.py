@@ -86,7 +86,8 @@ class ParallelKeyframeStyler:
         """jit(vmap(_binned_chunk_core)) for one octave signature. The
         batch axis rides the arrays' shardings (GSPMD), so one traced
         executable serves any keyframe batch of the same shapes."""
-        sig = (shape, K, round(scale, 6), has_dx)
+        kernel = self.styler.cfg.particle.kernel
+        sig = (shape, K, round(scale, 6), has_dx, kernel)
         if sig in self._chunk_cache:
             return self._chunk_cache[sig]
         styler = self.styler
@@ -95,7 +96,7 @@ class ParallelKeyframeStyler:
                        optimizer=styler._optimizer, shape=shape, K=K,
                        scale=scale,
                        max_offset=styler.cfg.particle.max_offset,
-                       has_dx=has_dx)
+                       has_dx=has_dx, kernel=kernel)
         data_axes = {"x": 0, "dens": 0, "pool": None, "vgg": None,
                      "targets": None, "n_dx": None}
         fn = jax.jit(jax.vmap(core, in_axes=(0, 0, 0, data_axes)),
@@ -191,7 +192,8 @@ class ParallelKeyframeStyler:
         shp_t = tuple(tuple(s) for s in probe_shapes)
         kmax_b = np.asarray(jax.vmap(
             lambda xx: _octave_max_counts(xx, shp_t,
-                                          float(styler.grid_shape[0])))(
+                                          float(styler.grid_shape[0]),
+                                          kernel=pc.kernel))(
             jnp.stack(xs)))
         per_kf_ks = [styler._octave_ks(xs[i], None, probe_shapes,
                                        kmaxes=kmax_b[i])

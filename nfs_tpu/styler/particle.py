@@ -480,7 +480,8 @@ class ParticleStyler:
             param, opt_state, losses, n_over = _binned_chunk(
                 param, opt_state, keys, chunk_data, loss_fn=loss_fn,
                 optimizer=self._optimizer, shape=tuple(shape), K=K,
-                scale=scale, max_offset=pc.max_offset, has_dx=has_dx)
+                scale=scale, max_offset=pc.max_offset, has_dx=has_dx,
+                kernel=pc.kernel)
             done += nst
             all_losses.append(losses)
             overflows.append(n_over)  # stays on device until frame end
@@ -545,8 +546,9 @@ class ParticleStyler:
             elif K is not None:
                 param, losses, n_over = self._run_binned_octave(
                     param, data, sub, tuple(shape), scale, K, callback=cb)
-            else:  # flat-scatter fallback (non-bspline kernels, huge K,
-                   # or occupancy beyond the bucket cap)
+            else:  # flat-scatter fallback (kernels other than
+                   # bspline/linear, support != 1, huge K, or occupancy
+                   # beyond the bucket cap)
                 loss_fn = self._get_loss_fn(tuple(shape), scale)
                 param, losses, _ = run_octave(
                     param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,

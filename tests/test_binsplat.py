@@ -22,31 +22,49 @@ def _data(n, shape, seed=0, oob=True):
     return x, attr
 
 
+@pytest.mark.parametrize("kernel", ["bspline", "linear"])
 @pytest.mark.parametrize("shape", [(20, 16, 24), (40, 32)])
-def test_matches_flat_splat(shape):
+def test_matches_flat_splat(shape, kernel):
     x, attr = _data(4000, shape)
-    K = B.bucket_k(int(B.max_bin_count(x, shape)))
-    bn = B.bin_particles(x, shape, K)
+    K = B.bucket_k(int(B.max_bin_count(x, shape, kernel)))
+    bn = B.bin_particles(x, shape, K, kernel=kernel)
     assert int(bn.n_overflow) == 0
     got = B.splat_binned(B.to_binned(bn, x), B.to_binned(bn, attr),
-                         bn.valid, shape, K)
-    ref = splat(x, attr, shape, kernel="bspline")
-    np.testing.assert_allclose(got, ref, atol=5e-6)
+                         bn.valid, shape, K, kernel=kernel)
+    ref = splat(x, attr, shape, kernel=kernel)
+    np.testing.assert_allclose(got, ref, atol=1e-5)  # fp32 sum-order noise
 
 
-def test_position_gradient_matches_flat():
+@pytest.mark.parametrize("kernel", ["bspline", "linear"])
+def test_position_gradient_matches_flat(kernel):
     shape = (16, 12, 14)
     x, attr = _data(1500, shape)
-    K = B.bucket_k(int(B.max_bin_count(x, shape)))
-    bn = B.bin_particles(x, shape, K)
+    K = B.bucket_k(int(B.max_bin_count(x, shape, kernel)))
+    bn = B.bin_particles(x, shape, K, kernel=kernel)
     h = jnp.asarray(np.random.default_rng(1).random(shape), jnp.float32)
     ab = B.to_binned(bn, attr)
 
     gref = jax.grad(lambda xx: jnp.vdot(
-        splat(xx, attr, shape, kernel="bspline"), h))(x)
+        splat(xx, attr, shape, kernel=kernel), h))(x)
     gbin = jax.grad(lambda xx: jnp.vdot(B.splat_binned(
-        B.to_binned(bn, xx), ab, bn.valid, shape, K), h))(x)
+        B.to_binned(bn, xx), ab, bn.valid, shape, K, kernel=kernel),
+        h))(x)
     np.testing.assert_allclose(gbin, gref, atol=5e-6)
+
+
+def test_bin_splat_kernel_mismatch_is_wrong():
+    """Binning with bspline base cells but splatting with the linear
+    window DROPS taps for frac<0.5 particles — the regression ADVICE r3
+    flagged. Guard that the mismatch genuinely disagrees with the flat
+    splat (i.e. the kernel= plumbing matters)."""
+    shape = (24, 20)
+    x, attr = _data(2000, shape, seed=7)
+    K = B.bucket_k(int(B.max_bin_count(x, shape, "bspline")))
+    bn = B.bin_particles(x, shape, K, kernel="bspline")  # WRONG base rule
+    got = B.splat_binned(B.to_binned(bn, x), B.to_binned(bn, attr),
+                         bn.valid, shape, K, kernel="linear")
+    ref = splat(x, attr, shape, kernel="linear")
+    assert float(jnp.abs(got - ref).max()) > 1e-3
 
 
 def test_channels_match_normalized_splat():
@@ -104,9 +122,12 @@ def _styler_cfg(impl, rebin=3):
     })
 
 
-def test_styler_binned_matches_flat_trajectory():
+@pytest.mark.parametrize("kernel", ["bspline", "linear"])
+def test_styler_binned_matches_flat_trajectory(kernel):
     """Same data, same seed: binned and flat paths must track each other
-    (small drift-truncation differences only)."""
+    (small drift-truncation differences only). Parametrized over kernel
+    so the linear (tent/CIC) binned path is covered end-to-end (ADVICE
+    r3 medium: the bin/splat kernel mismatch shipped untested)."""
     style = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
                                           (128, 128, 3)))
     rng = np.random.default_rng(0)
@@ -115,7 +136,8 @@ def test_styler_binned_matches_flat_trajectory():
         dens=jnp.ones((1500,), jnp.float32))
     out = {}
     for impl in ("flat", "binned"):
-        st = ParticleStyler(_styler_cfg(impl), grid_shape=(64, 64),
+        cfg = replace(_styler_cfg(impl), **{"particle.kernel": kernel})
+        st = ParticleStyler(cfg, grid_shape=(64, 64),
                             style_image=style)
         styled, param, info = st.stylize_frame(pset)
         out[impl] = (np.asarray(param["dx"]),

@@ -142,8 +142,10 @@ class TestParallelKeyframes:
         assert moved > 1e-6
 
     def test_non_binned_falls_back(self):
-        cfg = _cfg(**{"particle.kernel": "linear",
-                      "particle.support": 1.0, "optim.iters": 2,
+        # support=1.5 is genuinely non-binnable (the binned layout
+        # assumes unit support), so the engine must warn + fall back
+        cfg = _cfg(**{"particle.kernel": "bspline",
+                      "particle.support": 1.5, "optim.iters": 2,
                       "optim.octave_n": 1})
         psets = _psets(3, n=120, seed=4)
         styler = ParticleStyler(cfg, grid_shape=SHAPE,
@@ -155,6 +157,45 @@ class TestParallelKeyframes:
                                               key=jax.random.PRNGKey(1)))
         assert [t for t, _ in outs] == [0, 1, 2]
         assert any("falling back" in str(x.message) for x in w)
+
+    def test_linear_kernel_stays_binned_and_matches_sequential(self):
+        # linear (tent/CIC) kernels are binnable since round 3: the
+        # engine must NOT fall back, and must bin with the SAME kernel
+        # it splats with (ADVICE r3 high) — parity vs the sequential
+        # path is the end-to-end check of that
+        cfg = _cfg(**{"particle.kernel": "linear", "optim.iters": 3,
+                      "optim.octave_n": 1})
+        psets = _psets(3, n=200, seed=6)
+        key = jax.random.PRNGKey(13)
+        styler = ParticleStyler(cfg, grid_shape=SHAPE,
+                                style_image=_style())
+        eng = ParallelKeyframeStyler(styler, mesh=make_mesh(frames=2))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            outs = list(eng.stylize_keyframes(psets, key=key))
+        assert not any("falling back" in str(x.message) for x in w)
+
+        ref_styler = ParticleStyler(cfg, grid_shape=SHAPE,
+                                    style_image=_style())
+        kfs = keyframe_indices(3, cfg.particle.keyframe_stride)
+        params = {}
+        for kf in kfs:
+            _, p, _ = ref_styler.stylize_frame(
+                psets[kf], key=jax.random.fold_in(key, kf))
+            params[kf] = p
+        ref = dict(interp_sequence(psets, kfs, params,
+                                   float(cfg.particle.max_offset),
+                                   apply_fn=ref_styler.apply_param))
+        for t, styled in outs:
+            np.testing.assert_allclose(np.asarray(styled.x),
+                                       np.asarray(ref[t].x),
+                                       rtol=2e-3, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(styled.dens),
+                                       np.asarray(ref[t].dens),
+                                       rtol=2e-3, atol=2e-4)
+        moved = max(float(jnp.abs(s.x - psets[t].x).max())
+                    for t, s in outs)
+        assert moved > 1e-6
 
     def test_mesh_requires_frames_axis(self):
         from jax.sharding import Mesh
