@@ -82,8 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(temporal-coherence lever)")
     p.add_argument("--train_transfer", action="store_true",
                    help="jointly optimize the transfer-function control "
-                        "points with the density (single-frame grid "
-                        "mode; requires --transfer_fn)")
+                        "points with the density (grid mode, single "
+                        "frames and sequences; requires --transfer_fn)")
     p.add_argument("--transfer_fn", default=None,
                    help="density->RGB transfer function for colored "
                         "rendering: builtin colormap (fire, ice, viridis,"
@@ -308,7 +308,12 @@ def main(argv=None):
                 ppath = os.path.join(out_dir, f"param_{prev_t:04d}.npz")
                 if os.path.exists(ppath):
                     with np.load(ppath) as z:
-                        init_param = jnp.asarray(z["param"])
+                        if "param" in z.files:
+                            init_param = jnp.asarray(z["param"])
+                        else:  # --train_transfer pytree carry
+                            init_param = {
+                                k[6:]: jnp.asarray(z[k])
+                                for k in z.files if k.startswith("param/")}
                     vpath = os.path.join(cfg.data.data_dir,
                                          cfg.data.v_path % prev_t)
                     if os.path.exists(vpath):
@@ -325,8 +330,16 @@ def main(argv=None):
                 out_path = os.path.join(out_dir, cfg.data.d_path % t)
                 out_store.save_density(t, np.asarray(d_star))
                 if param is not None:
-                    np.savez(os.path.join(out_dir, f"param_{t:04d}.npz"),
-                             param=np.asarray(param))
+                    ppath = os.path.join(out_dir, f"param_{t:04d}.npz")
+                    if isinstance(param, dict):
+                        # --train_transfer pytree carry: field + tf nodes
+                        np.savez(ppath, **{"param/" + k: np.asarray(v)
+                                           for k, v in param.items()})
+                        np.savez(
+                            os.path.join(out_dir, f"tf_{t:04d}.npz"),
+                            nodes=np.clip(np.asarray(param["tf"]), 0, 1))
+                    else:
+                        np.savez(ppath, param=np.asarray(param))
                 preview(t, d_star)
                 dt = time.time() - t0
                 manifest.mark(t, out_path, wall_s=round(dt, 3))

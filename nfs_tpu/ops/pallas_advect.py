@@ -29,6 +29,7 @@ import functools
 import math
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -83,6 +84,33 @@ def _fwd_kernel(sz_ref, sy_ref, sx_ref, fpad_ref, out_ref, fslab, sem,
         0, 2 * K + 1, z_tap, jnp.zeros((tz_, h, w), jnp.float32))
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_call(K: int, tz: int, Dp: int, Hp: int, Wp: int,
+              Hs: int, Ws: int):
+    """Cached, vmappable forward pallas_call. sequential_vmap maps a
+    batch dim with lax.map — Mosaic rejects the batched grid that plain
+    vmap-of-pallas_call builds for the ANY-memory-space fpad operand
+    (nontrivial index map), and serializing local frames costs nothing:
+    each slab kernel already saturates the chip."""
+    grid = (Dp // tz,)
+
+    def call(sz, sy, sx, fpad):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, K=K, tz=tz),
+            grid=grid,
+            in_specs=[_block3(tz, Hp, Wp)] * 3 + [
+                pl.BlockSpec(memory_space=pltpu.ANY)],  # fpad, manual DMA
+            out_specs=_block3(tz, Hp, Wp),
+            out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tz + 2 * K, Hs, Ws), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(sz, sy, sx, fpad)
+
+    return custom_batching.sequential_vmap(call)
+
+
 @functools.partial(jax.jit, static_argnames=("max_disp", "tz"))
 def pallas_window_advect(field: jax.Array, vel: jax.Array,
                          dt: float = 1.0, max_disp: float = 2.0,
@@ -113,27 +141,7 @@ def pallas_window_advect(field: jax.Array, vel: jax.Array,
     fpad = jnp.pad(field.astype(jnp.float32),
                    [(K, K + Dp - D), (K, Hs - H - K), (K, Ws - W - K)])
 
-    grid = (Dp // tz,)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, K=K, tz=tz),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tz, Hp, Wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, Hp, Wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, Hp, Wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # fpad, manual DMA
-        ],
-        out_specs=pl.BlockSpec((tz, Hp, Wp), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tz + 2 * K, Hs, Ws), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(sz, sy, sx, fpad)
+    out = _fwd_call(K, tz, Dp, Hp, Wp, Hs, Ws)(sz, sy, sx, fpad)
     return out[:D, :H, :W].astype(field.dtype)
 
 
@@ -268,6 +276,53 @@ def _block3(tz, Hp, Wp):
                         memory_space=pltpu.VMEM)
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_field_call(K: int, tz: int, Dp: int, Hp: int, Wp: int,
+                    Hs: int, Ws: int):
+    """Cached, vmappable grad-wrt-field pallas_call (see _fwd_call)."""
+    grid = (Dp // tz,)
+
+    def call(stack):
+        return pl.pallas_call(
+            functools.partial(_bwd_field_kernel, K=K, tz=tz),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=_block3(tz, Hp, Wp),
+            out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((4, tz + 2 * K, Hs, Ws), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(stack)
+
+    return custom_batching.sequential_vmap(call)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_vel_call(K: int, tz: int, Dp: int, Hp: int, Wp: int,
+                  Hs: int, Ws: int):
+    """Cached, vmappable grad-wrt-velocity pallas_call (see _fwd_call)."""
+    grid = (Dp // tz,)
+
+    def call(sz, sy, sx, gpad, fpad):
+        return pl.pallas_call(
+            functools.partial(_bwd_vel_kernel, K=K, tz=tz),
+            grid=grid,
+            in_specs=[_block3(tz, Hp, Wp)] * 4 + [
+                pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(_block3(tz, Hp, Wp),) * 3,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32)
+                for _ in range(3)),
+            scratch_shapes=[
+                pltpu.VMEM((tz + 2 * K, Hs, Ws), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(sz, sy, sx, gpad, fpad)
+
+    return custom_batching.sequential_vmap(call)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def advect_pallas(field: jax.Array, vel: jax.Array, dt: float = 1.0,
                   max_disp: float = 2.0, tz: int = 2) -> jax.Array:
@@ -289,7 +344,6 @@ def _advect_pallas_bwd(dt, max_disp, tz, res, g):
     D, H, W = field.shape
     s, disp, (D_, H_, W_, Dp, Hp, Wp, Hs, Ws, K) = _prep(
         field, vel, dt, max_disp, tz)
-    grid = (Dp // tz,)
     g32 = g.astype(jnp.float32)
 
     # ---- grad wrt field: halo'd (sz, sy, sx, g) stack, pull transpose
@@ -298,17 +352,8 @@ def _advect_pallas_bwd(dt, max_disp, tz, res, g):
                            (K, Ws - W - K)])
 
     stack = jnp.stack([halo(s[0]), halo(s[1]), halo(s[2]), halo(g32)])
-    grad_field = pl.pallas_call(
-        functools.partial(_bwd_field_kernel, K=K, tz=tz),
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=_block3(tz, Hp, Wp),
-        out_shape=jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, tz + 2 * K, Hs, Ws), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(stack)[:D, :H, :W]
+    grad_field = _bwd_field_call(K, tz, Dp, Hp, Wp, Hs, Ws)(
+        stack)[:D, :H, :W]
 
     # ---- grad wrt velocity: forward-style kernel with weight derivatives
     pad_s = [(0, Dp - D), (0, Hp - H), (0, Wp - W)]
@@ -316,20 +361,7 @@ def _advect_pallas_bwd(dt, max_disp, tz, res, g):
     gpad = jnp.pad(g32, pad_s)
     fpad = jnp.pad(field.astype(jnp.float32),
                    [(K, K + Dp - D), (K, Hs - H - K), (K, Ws - W - K)])
-    gs = pl.pallas_call(
-        functools.partial(_bwd_vel_kernel, K=K, tz=tz),
-        grid=grid,
-        in_specs=[_block3(tz, Hp, Wp)] * 4 + [
-            pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(_block3(tz, Hp, Wp),) * 3,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32)
-            for _ in range(3)),
-        scratch_shapes=[
-            pltpu.VMEM((tz + 2 * K, Hs, Ws), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(sz, sy, sx, gpad, fpad)
+    gs = _bwd_vel_call(K, tz, Dp, Hp, Wp, Hs, Ws)(sz, sy, sx, gpad, fpad)
     grad_s = jnp.stack([x[:D, :H, :W] for x in gs], axis=-1)
 
     # chain: s = clip(i - clip(dt*v)). JAX's clip subgradient is 1 strictly

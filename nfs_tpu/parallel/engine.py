@@ -103,21 +103,26 @@ class ParallelSequenceStyler:
                 # the single-device window loss — bitwise-equal total,
                 # bigger MXU conv batches)
                 md = cfg.optim.max_disp
-                # impl='xla': this loss is vmapped over local frames
-                # (sharding.py) — batching the Pallas slab kernels is
-                # unvalidated on hardware, so the engine pins the XLA
-                # window (single-device paths resolve 'auto' to Pallas)
+                # advect impl: the Pallas slab kernels hold value+grad
+                # parity under vmap and inside shard_map
+                # (tests/test_pallas.py vmap/shard_map parity), so the
+                # engine resolves optim.advect_impl ('auto' -> Pallas on
+                # TPU) whenever the volume is UNSHARDED over space; with
+                # space > 1 each device holds a volume slice and the
+                # slab kernels' halo assumptions break — pin XLA there.
+                impl = ("xla" if self.mesh.shape.get("space", 1) > 1
+                        else cfg.optim.advect_impl)
                 states = [None] * (2 * window + 1)
                 states[window] = d_star
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, vels_w[window + j - 1], max_disp=md,
-                                 impl="xla")
+                                 impl=impl)
                     states[window + j] = d_j
                 d_j = d_star
                 for j in range(1, window + 1):
                     d_j = advect(d_j, -vels_w[window - j], max_disp=md,
-                                 impl="xla")
+                                 impl=impl)
                     states[window - j] = d_j
                 imgs = jnp.stack([render_imgs(s, views_i)
                                   for s in states])    # (P, nv, H, W, 3)

@@ -327,9 +327,9 @@ class GridStyler:
         # render.train_transfer: opt_var is {'field', 'tf'} — the TF
         # control points are optimized jointly (clipped to [0,1]); the
         # hat-basis expansion (render/transfer.py) is differentiable in
-        # its nodes. Single-frame (window=0) scope.
-        train_tf = (cfg.render.train_transfer
-                    and self.tf_nodes is not None)
+        # its nodes. Works for single frames AND windowed sequences (the
+        # trained tf renders every window position's transported state).
+        train_tf = self._train_tf
 
         def loss_fn(opt_var, key, data):
             d_base = data["d"]
@@ -365,16 +365,20 @@ class GridStyler:
                     total = jnp.float32(0.0)
                     for p, s in enumerate(states):
                         total += weights[p] * self._render_loss(
-                            s, keys[p], pool, render_size, data)
+                            s, keys[p], pool, render_size, data,
+                            tf_nodes=tf)
                 else:
                     # batched: every position's views through VGG in one
                     # call ((2W+1)*V conv batch on the MXU)
                     imgs = jnp.stack([
-                        self._render(s, keys[p], pool, render_size)
+                        self._render(s, keys[p], pool, render_size,
+                                     tf_nodes=tf)
                         for p, s in enumerate(states)])
                     total = self._image_loss_weighted(imgs, weights, data)
             if cfg.loss.w_tv:
-                total += cfg.loss.w_tv * tv_loss(opt_var, ndim=ndim)
+                field = (opt_var["field"] if isinstance(opt_var, dict)
+                         else opt_var)
+                total += cfg.loss.w_tv * tv_loss(field, ndim=ndim)
             return total
 
         self._loss_cache[sig] = loss_fn
@@ -455,7 +459,8 @@ class GridStyler:
                 # (prev_velocity); advecting it again by vels[0] here
                 # would be the wrong transport.
                 adv = self._advect_param(param, vels[jnp.maximum(t - 1, 0)])
-                param_t = jnp.where(t > 0, adv, param)
+                param_t = jax.tree.map(
+                    lambda a, b: jnp.where(t > 0, a, b), adv, param)
             else:
                 param_t = param
             vels_win = None
@@ -507,16 +512,38 @@ class GridStyler:
     # public API
     # ---------------------------------------------------------------- #
 
+    @property
+    def _train_tf(self) -> bool:
+        return bool(self.cfg.render.train_transfer
+                    and self.tf_nodes is not None)
+
+    def _wrap_tf_param(self, param):
+        """Lift an array param into the {'field', 'tf'} pytree when
+        render.train_transfer is on (no-op otherwise / when already a
+        pytree). The tf nodes are COPIED: downstream scans donate param
+        buffers, and jnp.asarray of a device array is a no-op — donating
+        the styler's own tf_nodes would delete it."""
+        if self._train_tf and not isinstance(param, dict):
+            return {"field": param,
+                    "tf": jnp.array(self.tf_nodes, jnp.float32, copy=True)}
+        return param
+
     def init_param(self, shape: Tuple[int, ...]) -> jax.Array:
         if self.cfg.optim.parameterization == "velocity":
             return jnp.zeros(tuple(shape) + (len(shape),), jnp.float32)
         return jnp.zeros(tuple(shape), jnp.float32)
 
-    def _advect_param(self, param: jax.Array, v: jax.Array) -> jax.Array:
+    def _advect_param(self, param, v: jax.Array):
         """Recursive warm-start transport (TNST §6): carry the previous
         frame's stylization param forward through the sim velocity.
         optim.param_advect selects semi-Lagrangian vs MacCormack/BFECC
-        (second-order — the inherited pattern diffuses less per frame)."""
+        (second-order — the inherited pattern diffuses less per frame).
+        Pytree params ({'field', 'tf'}): only the field lives on the grid
+        and is transported; the tf control points are global trainables
+        carried unchanged."""
+        if isinstance(param, dict):
+            return dict(param,
+                        field=self._advect_param(param["field"], v))
         oc = self.cfg.optim
         if oc.param_advect == "maccormack":
             return advect_maccormack(param, v, max_disp=oc.max_disp)
@@ -578,20 +605,8 @@ class GridStyler:
         shapes = octave_shapes(full_shape, oc.octave_n, oc.octave_scale)
         param = (init_param if init_param is not None
                  else self.init_param(full_shape))
-        train_tf = cfg.render.train_transfer and self.tf_nodes is not None
-        if train_tf:
-            if window:
-                raise ValueError(
-                    "render.train_transfer supports the single-frame "
-                    "path only (window=0); sequence paths hold the "
-                    "transfer function fixed")
-            if not isinstance(param, dict):
-                # COPY the nodes: run_octave donates param buffers, and
-                # jnp.asarray of a device array is a no-op — donating the
-                # styler's own tf_nodes deletes it
-                param = {"field": param,
-                         "tf": jnp.array(self.tf_nodes, jnp.float32,
-                                         copy=True)}
+        train_tf = self._train_tf
+        param = self._wrap_tf_param(param)
         info = {"octave_losses": []}
 
         # resume from an in-frame checkpoint
@@ -616,11 +631,7 @@ class GridStyler:
                         f"uninterrupted run. Restore the original flag "
                         f"or delete the checkpoint to restart the frame.")
             o = int(meta["octave"])
-            p_like = self.init_param(shapes[o])
-            if train_tf:
-                p_like = {"field": p_like,
-                          "tf": jnp.array(self.tf_nodes, jnp.float32,
-                                          copy=True)}
+            p_like = self._wrap_tf_param(self.init_param(shapes[o]))
             like = {"param": p_like,
                     "opt_state": opt_eff.init(p_like)}
             state, _ = load_checkpoint(checkpoint_path, like)
@@ -726,11 +737,6 @@ class GridStyler:
         device array across chunks raises "Array has been deleted".
         """
         cfg = self.cfg
-        if cfg.render.train_transfer and self.tf_nodes is not None:
-            raise ValueError(
-                "render.train_transfer is a single-frame feature "
-                "(stylize_frame); sequence paths advect the param "
-                "between frames and hold the transfer function fixed")
         W = cfg.optim.window
         T = len(densities)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
@@ -815,7 +821,7 @@ class GridStyler:
             window = cfg.optim.window if vels_ctx is not None else 0
             skip = 0
             if param is None:
-                param = self.init_param(full_shape)
+                param = self._wrap_tf_param(self.init_param(full_shape))
                 if warm_set and t0 == 0:
                     # cold frame 0 via the streaming path; the chain
                     # frames below then run the warm executable
@@ -900,14 +906,15 @@ class GridStyler:
         }
         t_start = 0
         if init_param is not None:
-            param = jnp.asarray(init_param, jnp.float32)
+            param = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32),
+                                 self._wrap_tf_param(init_param))
             if prev_velocity is not None:
                 # transport the completed predecessor's stylization into
                 # frame 0 (step_fn skips its own advection at t=0)
                 param = self._advect_param(
                     param, jnp.asarray(prev_velocity, jnp.float32))
         else:
-            param = self.init_param(full_shape)
+            param = self._wrap_tf_param(self.init_param(full_shape))
             if warm_set:
                 W = window
                 vels_win0 = None

@@ -100,3 +100,87 @@ class TestPallasAdvect:
         ref = advect(f, v, mode="clamp", max_disp=2.0, impl="xla")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+    def test_vmap_parity_fwd_and_grads(self):
+        """Batched (vmapped) Pallas advect — the parallel engine's window
+        loss is vmapped over local frames, so the kernels must hold
+        value+grad parity under vmap (VERDICT r3 weak #5)."""
+        from nfs_tpu.ops.advect import advect
+        from nfs_tpu.ops.pallas_advect import advect_pallas
+
+        B = 3
+        fs = jnp.stack([_case(seed=10 + b)[0] for b in range(B)])
+        vs = jnp.stack([_case(seed=10 + b)[1] for b in range(B)])
+
+        out = jax.vmap(lambda f, v: advect_pallas(f, v, 1.0, 2.0, 4))(
+            fs, vs)
+        ref = jax.vmap(lambda f, v: advect(f, v, mode="clamp",
+                                           max_disp=2.0, impl="xla"))(
+            fs, vs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        def lp(fs, vs):
+            return jnp.sum(jax.vmap(
+                lambda f, v: advect_pallas(f, v, 1.0, 2.0, 4))(fs, vs)
+                ** 2)
+
+        def lr(fs, vs):
+            return jnp.sum(jax.vmap(
+                lambda f, v: advect(f, v, mode="clamp", max_disp=2.0,
+                                    impl="xla"))(fs, vs) ** 2)
+
+        gf_p, gv_p = jax.grad(lp, argnums=(0, 1))(fs, vs)
+        gf_r, gv_r = jax.grad(lr, argnums=(0, 1))(fs, vs)
+        np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_r),
+                                   atol=1e-4)
+
+    def test_shard_map_frames_sharded(self):
+        """Pallas advect inside shard_map with the volume UNSHARDED over
+        space (frames-DP, each device holds full local volumes) — the
+        engine's window-loss regime. Values + velocity grads must match
+        the unsharded XLA reference."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax import shard_map
+
+        from nfs_tpu.ops.advect import advect
+        from nfs_tpu.ops.pallas_advect import advect_pallas
+
+        n = min(4, jax.device_count())
+        mesh = Mesh(np.array(jax.devices()[:n]), ("frames",))
+        B = 2 * n
+        fs = jnp.stack([_case(seed=20 + b, shape=(8, 8, 16))[0]
+                        for b in range(B)])
+        vs = jnp.stack([_case(seed=20 + b, shape=(8, 8, 16))[1]
+                        for b in range(B)])
+
+        def local(fs, vs):
+            return jax.vmap(
+                lambda f, v: advect_pallas(f, v, 1.0, 2.0, 4))(fs, vs)
+
+        # check_vma=False matches the engine's shard_map
+        # (parallel/sharding.py) — Pallas out_shapes carry no vma
+        sharded = shard_map(local, mesh=mesh,
+                            in_specs=(P("frames"), P("frames")),
+                            out_specs=P("frames"), check_vma=False)
+        out = jax.jit(sharded)(fs, vs)
+        ref = jax.vmap(lambda f, v: advect(f, v, mode="clamp",
+                                           max_disp=2.0, impl="xla"))(
+            fs, vs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        def loss_sharded(vs):
+            return jnp.sum(sharded(fs, vs) ** 2)
+
+        def loss_ref(vs):
+            return jnp.sum(jax.vmap(
+                lambda f, v: advect(f, v, mode="clamp", max_disp=2.0,
+                                    impl="xla"))(fs, vs) ** 2)
+
+        gv = jax.jit(jax.grad(loss_sharded))(vs)
+        gr = jax.grad(loss_ref)(vs)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gr),
+                                   atol=1e-4)

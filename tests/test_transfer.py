@@ -174,8 +174,7 @@ def test_particle_styler_transfer_fn_end_to_end():
 def test_train_transfer_single_frame():
     # render.train_transfer: the TF control points join the optimization
     # pytree — the trained nodes must move, come back clipped in
-    # info['tf_nodes'], and the loss must decrease. Sequence paths
-    # refuse (they advect the param between frames).
+    # info['tf_nodes'], and the loss must decrease.
     from nfs_tpu.core.config import StyleConfig, replace
     from nfs_tpu.styler.grid import GridStyler
 
@@ -209,6 +208,117 @@ def test_train_transfer_single_frame():
     losses = np.asarray(info["octave_losses"][0])
     assert losses[-1] < losses[0]
     assert np.isfinite(np.asarray(d_star)).all()
-    # sequence path refuses loudly
-    with pytest.raises(ValueError, match="train_transfer"):
-        list(styler.stylize_sequence(np.stack([d, d])))
+
+
+def _seq_tf_cfg(**over):
+    from nfs_tpu.core.config import StyleConfig, replace
+
+    base = {
+        "render.render_size": (32, 32),
+        "render.transfer_fn": "fire",
+        "render.train_transfer": True,
+        "optim.octave_n": 1,
+        "optim.iters": 3,
+        "optim.lr": 0.05,
+        "optim.window": 1,
+        "loss.style_layers": ("relu1_1",),
+        "loss.style_layer_weights": (1.0,),
+    }
+    base.update(over)
+    return replace(StyleConfig(), **base)
+
+
+def _seq_2d(T=3, shape=(24, 24), seed=2):
+    rng = np.random.default_rng(seed)
+    dens = rng.random((T,) + shape).astype(np.float32)
+    vels = (rng.random((T,) + shape + (2,)).astype(np.float32) - 0.5)
+    return dens, vels
+
+
+def test_train_transfer_windowed_sequence():
+    # VERDICT r3 missing #3: the sequence paths carry a pytree param —
+    # render.train_transfer now works on windowed sequences (the field
+    # is advected between frames, the tf control points carry through
+    # and keep training).
+    from nfs_tpu.styler.grid import GridStyler
+
+    rng = np.random.default_rng(0)
+    style = rng.random((32, 32, 3)).astype(np.float32)
+    styler = GridStyler(_seq_tf_cfg(), style_image=style)
+    dens, vels = _seq_2d()
+    tf0 = np.asarray(styler.tf_nodes)
+    outs = list(styler.stylize_sequence(dens, vels))
+    assert [t for t, _, _ in outs] == [0, 1, 2]
+    for _, d_star, _ in outs:
+        assert np.isfinite(np.asarray(d_star)).all()
+    param = outs[-1][2]
+    assert isinstance(param, dict) and set(param) == {"field", "tf"}
+    tf1 = np.asarray(param["tf"])
+    assert np.abs(tf1 - tf0).max() > 1e-6, "TF nodes did not train"
+    # the styler's own nodes must be untouched (the carry is a copy)
+    np.testing.assert_array_equal(np.asarray(styler.tf_nodes), tf0)
+
+
+def test_train_transfer_fused_sequence():
+    # fused whole-sequence dispatch with the pytree carry: yields the
+    # same frame indices, the carry stays a {'field','tf'} pytree, and
+    # the tf keeps training across chunks
+    from nfs_tpu.styler.grid import GridStyler
+
+    rng = np.random.default_rng(1)
+    style = rng.random((32, 32, 3)).astype(np.float32)
+    styler = GridStyler(_seq_tf_cfg(), style_image=style)
+    dens, vels = _seq_2d(T=4)
+    tf0 = np.asarray(styler.tf_nodes)
+    outs = list(styler.stylize_sequence(dens, vels, fused=2))
+    assert [t for t, _, _ in outs] == [0, 1, 2, 3]
+    # the carry param is yielded at chunk boundaries
+    params = [p for _, _, p in outs if p is not None]
+    assert params, "fused path yielded no carry param"
+    p = params[-1]
+    assert isinstance(p, dict) and set(p) == {"field", "tf"}
+    assert np.abs(np.asarray(p["tf"]) - tf0).max() > 1e-6
+    for _, d_star, _ in outs:
+        assert np.isfinite(np.asarray(d_star)).all()
+
+
+def test_train_transfer_resume_bit_exact(tmp_path):
+    # bit-exact in-frame checkpoint resume with a PYTREE param
+    # (VERDICT r3 #5 'done' bar): crash mid-frame, resume, and the final
+    # {field, tf} must equal the uninterrupted run's bit-for-bit.
+    import os
+
+    from nfs_tpu.styler.grid import GridStyler
+
+    rng = np.random.default_rng(3)
+    style = rng.random((32, 32, 3)).astype(np.float32)
+    cfg = _seq_tf_cfg(**{"optim.window": 0, "optim.iters": 6,
+                         "optim.log_every": 2, "optim.octave_n": 2,
+                         "optim.octave_scale": 2.0})
+    d = rng.random((24, 24)).astype(np.float32)
+
+    ref_styler = GridStyler(cfg, style_image=style)
+    d_ref, p_ref, _ = ref_styler.stylize_frame(d)
+
+    class Crash(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing(done, loss, octave):
+        calls["n"] += 1
+        if calls["n"] == 4:  # mid octave 1
+            raise Crash()
+
+    styler = GridStyler(cfg, style_image=style)
+    ck = str(tmp_path / "tf_frame.ckpt.npz")
+    with pytest.raises(Crash):
+        styler.stylize_frame(d, callback=crashing, checkpoint_path=ck)
+    assert os.path.exists(ck)
+    d_res, p_res, _ = styler.stylize_frame(d, checkpoint_path=ck)
+
+    np.testing.assert_array_equal(np.asarray(d_res), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(p_res["tf"]),
+                                  np.asarray(p_ref["tf"]))
+    np.testing.assert_array_equal(np.asarray(p_res["field"]),
+                                  np.asarray(p_ref["field"]))
