@@ -67,6 +67,35 @@ def build_and_trace(iters: int, trace_dir: str, octaves: int = 1,
     return iters
 
 
+def build_and_trace_tnst(iters: int, trace_dir: str, octaves: int = 3):
+    """Trace the TNST 3d_single bench config (the comparison bar) so
+    LNST's device-vs-host split can be judged against the same split on
+    the grid path."""
+    import numpy as np
+    import jax
+    from nfs_tpu.core.config import StyleConfig, replace
+    from nfs_tpu.styler.grid import GridStyler
+
+    cfg = replace(StyleConfig(), **{
+        "render.render_size": (256, 256),
+        "render.n_views": 9, "render.transmit": 0.01,
+        "loss.features_dtype": "bfloat16",
+        "optim.octave_n": octaves, "optim.iters": iters,
+    })
+    style = np.asarray(np.random.default_rng(1).random((256, 256, 3)),
+                       np.float32)
+    styler = GridStyler(cfg, style_image=style)
+    shape = (112, 64, 112)
+    z, y, x = np.meshgrid(*(np.linspace(-1, 1, s) for s in shape),
+                          indexing="ij")
+    d = np.exp(-4.0 * (z * z + y * y + x * x)).astype(np.float32)
+    np.asarray(styler.stylize_frame(d)[0])
+    with jax.profiler.trace(trace_dir):
+        out = styler.stylize_frame(d)[0]
+        np.asarray(out)
+    return iters
+
+
 def parse_xplane(trace_dir: str):
     """Aggregate device-plane event durations by op-name bucket."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
@@ -81,6 +110,7 @@ def parse_xplane(trace_dir: str):
 
     totals = collections.Counter()       # bucket -> ns
     by_name = collections.Counter()      # op name -> ns
+    n_calls = collections.Counter()      # op name -> event count
     for plane in xspace.planes:
         if "TPU" not in plane.name or "XLA Op" in plane.name:
             continue
@@ -93,7 +123,8 @@ def parse_xplane(trace_dir: str):
             for ev in line.events:
                 name = meta.get(ev.metadata_id, "?")
                 by_name[name] += ev.duration_ps
-    return by_name
+                n_calls[name] += 1
+    return by_name, n_calls
 
 
 import re
@@ -143,6 +174,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--trace_dir", default="/tmp/lnst_trace")
     ap.add_argument("--parse_only", action="store_true")
+    ap.add_argument("--tnst", action="store_true",
+                    help="trace the TNST 3d_single config instead")
     a = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -150,9 +183,13 @@ def main():
     enable_compile_cache()
 
     if not a.parse_only:
-        build_and_trace(a.iters, a.trace_dir, octaves=a.octaves, rebin=a.rebin)
+        if a.tnst:
+            build_and_trace_tnst(a.iters, a.trace_dir, octaves=a.octaves)
+        else:
+            build_and_trace(a.iters, a.trace_dir, octaves=a.octaves,
+                            rebin=a.rebin)
 
-    by_name = parse_xplane(a.trace_dir)
+    by_name, n_calls = parse_xplane(a.trace_dir)
     buckets = collections.Counter()
     for name, ps in by_name.items():
         buckets[bucket_of(name)] += ps
@@ -172,8 +209,8 @@ def main():
             k: round(v / 1e9 / (a.iters * a.octaves), 3)
             for k, v in buckets.most_common()},
         "top_ops_ms_per_iter": {
-            n.split(" = ")[0] + " = " + n.split(" = ")[1][:120]: round(
-                v / 1e9 / (a.iters * a.octaves), 3)
+            n.split(" = ")[0] + " = " + n.split(" = ")[1][:120]:
+                [round(v / 1e9 / (a.iters * a.octaves), 3), n_calls[n]]
             for n, v in by_name.most_common(40)
             if not n.startswith("%while")},
     }

@@ -165,13 +165,21 @@ def bin_particles(p: jax.Array, shape: Tuple[int, ...], K: int,
 def to_binned(binning: Binning, arr: jax.Array) -> jax.Array:
     """Canonical -> binned, SLOT-MINOR: (N,) -> (n_slots + N,) and
     (N, C) -> (C, n_slots + N) (empty slots zero). The layout flip keeps
-    the slot axis on the 128-lane minor dim (see module docstring)."""
+    the slot axis on the 128-lane minor dim (see module docstring).
+
+    Row-wise 1D scatters: on TPU a (C, n_total) scatter lowers ~2.3x
+    slower PER ROW than C independent 1D scatters (measured on v5e:
+    3.7 vs 1.6 ms/row at N=200k, n_total=5.64M), and slots are unique
+    by construction."""
     n_total = binning.valid.shape[0] + binning.slot.shape[0]
     if arr.ndim == 1:
-        return jnp.zeros((n_total,), arr.dtype).at[binning.slot].set(arr)
+        return jnp.zeros((n_total,), arr.dtype).at[binning.slot].set(
+            arr, unique_indices=True)
     assert arr.ndim == 2
-    out = jnp.zeros((arr.shape[1], n_total), arr.dtype)
-    return out.at[:, binning.slot].set(arr.T)
+    zero = jnp.zeros((n_total,), arr.dtype)
+    return jnp.stack([
+        zero.at[binning.slot].set(arr[:, c], unique_indices=True)
+        for c in range(arr.shape[1])])
 
 
 def from_binned(binning: Binning, arr: jax.Array) -> jax.Array:

@@ -52,7 +52,7 @@ from nfs_tpu.ops.binsplat import (
 )
 from nfs_tpu.render.camera import poisson_view_pool, sample_views_stratified
 from nfs_tpu.render.raymarch import raymarch, render2d, render_views
-from nfs_tpu.styler.octave import run_octave
+from nfs_tpu.styler.octave import _scan_chunk_core, run_octave
 
 
 def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
@@ -408,21 +408,54 @@ class ParticleStyler:
         return loss_fn
 
     def _grid_coarse_octave(self, param, data, key, shape, scale,
-                            callback=None):
+                            K=None, callback=None):
         """Run one coarse octave in grid space and fold the learned
-        field into per-particle ddens (one flat splat + one trilinear
-        sample per OCTAVE; zero per-iteration particle cost)."""
+        field into per-particle ddens (one splat + one trilinear
+        sample per OCTAVE; zero per-iteration particle cost).
+
+        With a bin capacity K the one-shot prep splat runs binned
+        (sort + 4 row scatters + window kernel) instead of the flat
+        27N-element scatter-add — measured 36 ms -> ~5 ms per coarse
+        octave at 200k particles on v5e (the flat scatter was the
+        single largest LNST-vs-TNST surcharge after rebinning)."""
         oc = self.cfg.optim
         shape = tuple(shape)
-        psig = ("grid_prep", shape, round(scale, 6))
+        pc = self.cfg.particle
+        psig = ("grid_prep", shape, round(scale, 6), K,
+                pc.splat_impl, pc.kernel)
         if psig not in self._loss_cache:
             from nfs_tpu.ops.interp import grid_sample
-            pc = self.cfg.particle
+
+            use_pallas = (len(shape) == 3 and pc.kernel == "bspline"
+                          and pc.splat_impl in ("auto", "binned_pallas")
+                          and (pc.splat_impl == "binned_pallas"
+                               or jax.default_backend() == "tpu"))
 
             def _prep(param, x, dens):
-                base_d, _ = self._splat_grids(
-                    param, {"x": x, "dens": dens}, scale, shape)
-                return base_d, jnp.zeros(shape, jnp.float32)
+                if K is None:
+                    base_d, _ = self._splat_grids(
+                        param, {"x": x, "dens": dens}, scale, shape)
+                    return base_d, jnp.zeros(shape, jnp.float32)
+                if "dx" in param:
+                    x = x + pc.max_offset * jnp.tanh(
+                        param["dx"] / pc.max_offset)
+                if "ddens" in param:
+                    dens = dens * _dens_scale(param["ddens"],
+                                              pc.max_log_dens)
+                xs = x * scale
+                bn = bin_particles(xs, shape, K, kernel=pc.kernel)
+                pb = to_binned(bn, xs)
+                db = to_binned(bn, dens)
+                if use_pallas:
+                    from nfs_tpu.ops.pallas_binsplat import (
+                        splat_binned_pallas)
+                    base_d = splat_binned_pallas(pb, db, bn.valid,
+                                                 shape, K)
+                else:
+                    base_d = splat_binned(pb, db, bn.valid, shape, K,
+                                          kernel=pc.kernel)
+                return base_d * (scale ** 2), jnp.zeros(shape,
+                                                        jnp.float32)
 
             def _xfer(param, g, x):
                 if "dx" in param:
@@ -431,17 +464,34 @@ class ParticleStyler:
                 return dict(param, ddens=param["ddens"]
                             + grid_sample(g, x * scale))
 
-            self._loss_cache[psig] = (jax.jit(_prep), jax.jit(_xfer))
-        prep, xfer = self._loss_cache[psig]
+            loss_fn = self._get_grid_loss_fn(shape, scale)
+
+            def _fused(param, x, dens, gdata, keys):
+                # prep -> whole-octave scan -> xfer in ONE dispatch:
+                # each extra dispatch over the remote-TPU tunnel costs
+                # ~an RTT, and coarse octaves are dispatch-dominated
+                base_d, g0 = _prep(param, x, dens)
+                gdata = dict(gdata, base_d=base_d)
+                g, _, losses = _scan_chunk_core(
+                    g0, self._optimizer.init(g0), keys, gdata,
+                    loss_fn, self._optimizer)
+                return _xfer(param, g, x), losses
+
+            self._loss_cache[psig] = (jax.jit(_prep), jax.jit(_xfer),
+                                      jax.jit(_fused))
+        prep, xfer, fused = self._loss_cache[psig]
+        gdata = {"pool": data["pool"], "vgg": data["vgg"],
+                 "targets": data["targets"],
+                 "content": data.get("content")}
+        if callback is None:
+            keys = jax.random.split(jax.random.split(key)[1], oc.iters)
+            return fused(param, data["x"], data["dens"], gdata, keys)
         base_d, g0 = prep(param, data["x"], data["dens"])
         loss_fn = self._get_grid_loss_fn(shape, scale)
-        gdata = {"base_d": base_d, "pool": data["pool"],
-                 "vgg": data["vgg"], "targets": data["targets"],
-                 "content": data.get("content")}
         g, losses, _ = run_octave(
-            g0, loss_fn, gdata, key, iters=oc.iters, lr=oc.lr, b1=oc.b1,
-            b2=oc.b2, log_every=oc.log_every, callback=callback,
-            optimizer=self._optimizer)
+            g0, loss_fn, dict(gdata, base_d=base_d), key, iters=oc.iters,
+            lr=oc.lr, b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
+            callback=callback, optimizer=self._optimizer)
         return xfer(param, g, data["x"]), losses
 
     def _octave_ks(self, x, dx, shapes, kmaxes=None) -> Optional[list]:
@@ -540,16 +590,13 @@ class ParticleStyler:
         if "dx" in param:
             dx_now = pc.max_offset * jnp.tanh(param["dx"] / pc.max_offset)
         # grid-space coarse octaves (particle.coarse_mode): only the
-        # FINEST octave runs the particle splat, so only it needs a bin
-        # capacity (the probe also shrinks to one shape)
+        # FINEST octave runs the per-iteration particle splat, but the
+        # coarse octaves' ONE-SHOT prep splat also runs binned when a
+        # capacity fits, so every octave is probed (one fused dispatch)
         grid_coarse = pc.coarse_mode == "grid" and "ddens" in param
-        if grid_coarse and len(shapes) > 1:
-            k_last = self._octave_ks(x, dx_now, shapes[-1:])
-            ks = (None if k_last is None
-                  else [None] * (len(shapes) - 1) + k_last)
-        else:
+        if not (grid_coarse and len(shapes) > 1):
             grid_coarse = False
-            ks = self._octave_ks(x, dx_now, shapes)
+        ks = self._octave_ks(x, dx_now, shapes)
         for o, shape in enumerate(shapes):
             scale = shape[0] / self.grid_shape[0]
             data = {
@@ -565,7 +612,8 @@ class ParticleStyler:
             K = ks[o] if ks is not None else None
             if grid_coarse and o < len(shapes) - 1:
                 param, losses = self._grid_coarse_octave(
-                    param, data, sub, tuple(shape), scale, callback=cb)
+                    param, data, sub, tuple(shape), scale, K=K,
+                    callback=cb)
                 n_over = jnp.int32(0)
             elif K is not None:
                 param, losses, n_over = self._run_binned_octave(

@@ -185,3 +185,36 @@ def test_styler_pallas_matches_binned_3d():
     dx_p, loss_p = out["binned_pallas"]
     np.testing.assert_allclose(loss_p, loss_x, rtol=1e-4)
     np.testing.assert_allclose(dx_p, dx_x, atol=1e-5)
+
+
+def test_vmapped_matches_binned():
+    # the keyframe-DP engine (parallel/particles.py) vmaps the splat
+    # over keyframes; the pallas_calls carry ANY-memory-space operands,
+    # which plain vmap-of-pallas_call can't batch on real TPUs — the
+    # kernels use jax.custom_batching.sequential_vmap instead. Parity of
+    # the batched value AND grads vs per-frame calls.
+    shape = (10, 8, 12)
+    cases = [_case(1500, shape, seed=s) for s in (0, 1)]
+    K = max(c[3] for c in cases)
+    bns = [B.bin_particles(c[0], shape, K) for c in cases]
+    pb = jnp.stack([B.to_binned(bn, c[0])
+                    for bn, c in zip(bns, cases)])
+    ab = jnp.stack([B.to_binned(bn, c[1])
+                    for bn, c in zip(bns, cases)])
+    vb = jnp.stack([bn.valid for bn in bns])
+
+    def loss(pb_, ab_, v_):
+        return jnp.sum(splat_binned_pallas(pb_, ab_, v_, shape, K) ** 2)
+
+    batched = jax.jit(jax.vmap(jax.value_and_grad(loss, argnums=(0, 1)),
+                               in_axes=(0, 0, 0)))
+    vals, (gp, ga) = batched(pb, ab, vb)
+    for b in range(2):
+        v_ref, (gp_ref, ga_ref) = jax.value_and_grad(
+            loss, argnums=(0, 1))(pb[b], ab[b], vb[b])
+        np.testing.assert_allclose(np.asarray(vals[b]),
+                                   np.asarray(v_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp[b]),
+                                   np.asarray(gp_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ga[b]),
+                                   np.asarray(ga_ref), atol=1e-5)
