@@ -232,8 +232,13 @@ class ParticleConfig:
     # (ops/splat.py, any kernel)
     splat_impl: str = "auto"
     # iterations between re-binnings (position drift between rebins
-    # truncates O(drift^2) kernel mass at the bin-support edge)
-    rebin_every: int = 10
+    # truncates O(drift^2) kernel mass at the bin-support edge; drift
+    # per chunk is bounded by ~lr*rebin_every cells << 1 at default lr,
+    # and the +1 capacity headroom plus the overflow warning guard the
+    # crowding case). Each rebin pays an O(N log N) sort plus ~12 row
+    # scatter/gathers permuting params+Adam state — at the default
+    # 20-iteration octaves one rebin per octave is the sweet spot.
+    rebin_every: int = 20
     # coarse-octave strategy (octaves below full splat resolution):
     # 'grid' — optimize a multiplicative log-density FIELD over the
     # once-splatted octave density (TNST-priced iterations: the O(N)

@@ -24,10 +24,18 @@ from nfs_tpu.features.vgg import vgg_features
 
 def gram_matrix(feat: jax.Array) -> jax.Array:
     """(..., H, W, C) activations -> (..., C, C) normalized Gram matrix
-    G = F^T F / (H*W*C), accumulated in f32."""
+    G = F^T F / (H*W*C), accumulated in f32.
+
+    The (H, W) pixel dims are contracted DIRECTLY (one dot_general with
+    two contracting dims) instead of reshaping to (HW, C) first: on TPU
+    the conv-preferred activation layouts differ from the row-major
+    layout a reshape pins, and XLA materialized a physical copy pair
+    around each reshape (measured ~2.9 ms/iter of bf16[9,256,256,64]-
+    class copies in the headline step, ~20% of device time —
+    docs/ROOFLINE.md). The Gram sum is layout-agnostic math; this form
+    lets XLA lay the contraction out against the conv layouts freely."""
     h, w, c = feat.shape[-3], feat.shape[-2], feat.shape[-1]
-    f = feat.reshape(feat.shape[:-3] + (h * w, c))
-    g = jnp.einsum("...nc,...nd->...cd", f, f,
+    g = jnp.einsum("...hwc,...hwd->...cd", feat, feat,
                    preferred_element_type=jnp.float32)
     return g / jnp.float32(h * w * c)
 

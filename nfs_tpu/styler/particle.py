@@ -104,13 +104,40 @@ def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
     return _from_b(param_b), _from_b(state_b), losses, bn.n_overflow
 
 
-# the single-frame entry; parallel/particles.py vmaps the core over a
-# keyframe batch instead (one jit per engine, batch sharded over frames)
+def _binned_chunk_keyed_core(param, opt_state, okey, data, loss_fn,
+                             optimizer, shape, K, scale, max_offset,
+                             has_dx, n_steps, kernel="bspline"):
+    """`_binned_chunk_core` with the chunk's RNG plan derived ON DEVICE
+    (same split sequence as the old eager version, so the PRNG stream —
+    which parallel/particles.py mirrors bit-for-bit — is unchanged).
+    Each eager `jax.random.split` costs a tunnel RTT on remote TPUs
+    (measured ~4-8 ms apiece); deriving the per-iteration keys inside
+    the chunk jit removes two of them per chunk."""
+    okey_next, sub = jax.random.split(okey)
+    keys = jax.random.split(sub, n_steps)
+    param, opt_state, losses, n_over = _binned_chunk_core(
+        param, opt_state, keys, data, loss_fn, optimizer, shape, K,
+        scale, max_offset, has_dx, kernel=kernel)
+    return param, opt_state, losses, n_over, okey_next
+
+
+# the single-frame entry; parallel/particles.py vmaps
+# `_binned_chunk_core` over a keyframe batch instead (one jit per
+# engine, batch sharded over frames, keys pre-split per batch row)
 _binned_chunk = jax.jit(
-    _binned_chunk_core,
+    _binned_chunk_keyed_core,
     static_argnames=("loss_fn", "optimizer", "shape", "K", "scale",
-                     "max_offset", "has_dx", "kernel"),
+                     "max_offset", "has_dx", "n_steps", "kernel"),
     donate_argnums=(0, 1))
+
+
+@jax.jit
+def _split_pair(key):
+    """`key, sub = jax.random.split(key)` as ONE device dispatch
+    returning both halves (tuple output — indexing a (2, 2) split
+    result costs one extra eager dispatch per half)."""
+    ks = jax.random.split(key)
+    return ks[0], ks[1]
 
 
 def _dens_scale(ddens: jax.Array, max_log: Optional[float]) -> jax.Array:
@@ -183,6 +210,11 @@ class ParticleStyler:
             self.view_pool = None
 
         self._loss_cache: Dict[Tuple, object] = {}
+        # bin-capacity plans reused across frames (the occupancy probe
+        # costs a dispatch + host sync per frame — ~40 ms over a remote
+        # TPU tunnel); invalidated whenever a frame parks overflow
+        # particles, so a drifting distribution re-probes next frame
+        self._k_cache: Dict[Tuple, object] = {}
         self._optimizer = optax.adam(cfg.optim.lr, b1=cfg.optim.b1,
                                      b2=cfg.optim.b2)
 
@@ -466,16 +498,24 @@ class ParticleStyler:
 
             loss_fn = self._get_grid_loss_fn(shape, scale)
 
-            def _fused(param, x, dens, gdata, keys):
+            def _fused(param, x, dens, gdata, key):
                 # prep -> whole-octave scan -> xfer in ONE dispatch:
                 # each extra dispatch over the remote-TPU tunnel costs
-                # ~an RTT, and coarse octaves are dispatch-dominated
+                # ~an RTT, and coarse octaves are dispatch-dominated.
+                # The key plan runs on device too, preserving the exact
+                # eager split sequence (octave split, then
+                # split(split(okey)[1], iters)) that the keyframe-DP
+                # engine mirrors bit-for-bit.
+                ks = jax.random.split(key)
+                key_next, okey = ks[0], ks[1]
+                keys = jax.random.split(jax.random.split(okey)[1],
+                                        oc.iters)
                 base_d, g0 = _prep(param, x, dens)
                 gdata = dict(gdata, base_d=base_d)
                 g, _, losses = _scan_chunk_core(
                     g0, self._optimizer.init(g0), keys, gdata,
                     loss_fn, self._optimizer)
-                return _xfer(param, g, x), losses
+                return _xfer(param, g, x), losses, key_next
 
             self._loss_cache[psig] = (jax.jit(_prep), jax.jit(_xfer),
                                       jax.jit(_fused))
@@ -484,17 +524,20 @@ class ParticleStyler:
                  "targets": data["targets"],
                  "content": data.get("content")}
         if callback is None:
-            keys = jax.random.split(jax.random.split(key)[1], oc.iters)
-            return fused(param, data["x"], data["dens"], gdata, keys)
+            return fused(param, data["x"], data["dens"], gdata, key)
+        # observer path: separate dispatches so the callback can fire
+        # between chunks (the fused single-dispatch path can't pause)
+        key_next, okey = jax.random.split(key)
         base_d, g0 = prep(param, data["x"], data["dens"])
         loss_fn = self._get_grid_loss_fn(shape, scale)
         g, losses, _ = run_octave(
-            g0, loss_fn, dict(gdata, base_d=base_d), key, iters=oc.iters,
+            g0, loss_fn, dict(gdata, base_d=base_d), okey, iters=oc.iters,
             lr=oc.lr, b1=oc.b1, b2=oc.b2, log_every=oc.log_every,
             callback=callback, optimizer=self._optimizer)
-        return xfer(param, g, data["x"]), losses
+        return xfer(param, g, data["x"]), losses, key_next
 
-    def _octave_ks(self, x, dx, shapes, kmaxes=None) -> Optional[list]:
+    def _octave_ks(self, x, dx, shapes, kmaxes=None,
+                   margin=0) -> Optional[list]:
         """Static bin capacities K for every octave in ONE device dispatch
         and ONE host sync (syncs over a remote-TPU tunnel cost ~an RTT
         each — per-octave syncs dominated the binned path's win). Returns
@@ -516,8 +559,9 @@ class ParticleStyler:
             # (<< 1), so crowding beyond the binned max is rare and the
             # parking region keeps any overflow exact (skipped until the
             # next rebin). Every extra K row is a full dense window pass,
-            # so headroom is paid on every iteration.
-            need = int(kmax) + 1
+            # so headroom is paid on every iteration. `margin` adds
+            # cross-FRAME headroom when the caller caches the plan.
+            need = int(kmax) + 1 + margin
             K = bucket_k(need)
             if K < need:
                 # true occupancy exceeds the bucket cap: the binned layout
@@ -529,15 +573,15 @@ class ParticleStyler:
             ks.append(K if n_slots <= pc.max_bin_slots else None)
         return ks
 
-    def _run_binned_octave(self, param, data, key, shape, scale, K,
+    def _run_binned_octave(self, param, data, okey, shape, scale, K,
                            callback=None):
         """Chunked octave driver for the binned path: one dispatch per
-        `rebin_every` iterations (rebin + scan inside the jit); losses
-        stay on device unless a callback forces a sync."""
+        `rebin_every` iterations (rebin + scan inside the jit, chunk
+        keys derived inside — zero eager RNG ops); losses stay on
+        device unless a callback forces a sync."""
         oc = self.cfg.optim
         pc = self.cfg.particle
         loss_fn = self._get_binned_loss_fn(tuple(shape), scale, K)
-        n = data["x"].shape[0]
         has_dx = "dx" in param
         dims = (param["dx"].size if has_dx else 1)
         chunk_data = dict(data, n_dx=float(dims))
@@ -548,13 +592,11 @@ class ParticleStyler:
         done = 0
         while done < oc.iters:
             nst = min(chunk, oc.iters - done)
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, nst)
-            param, opt_state, losses, n_over = _binned_chunk(
-                param, opt_state, keys, chunk_data, loss_fn=loss_fn,
+            param, opt_state, losses, n_over, okey = _binned_chunk(
+                param, opt_state, okey, chunk_data, loss_fn=loss_fn,
                 optimizer=self._optimizer, shape=tuple(shape), K=K,
                 scale=scale, max_offset=pc.max_offset, has_dx=has_dx,
-                kernel=pc.kernel)
+                n_steps=nst, kernel=pc.kernel)
             done += nst
             all_losses.append(losses)
             overflows.append(n_over)  # stays on device until frame end
@@ -586,9 +628,6 @@ class ParticleStyler:
         info = {"octave_losses": [], "octave_overflow": []}
 
         shapes = octave_shapes(self.grid_shape, oc.octave_n, oc.octave_scale)
-        dx_now = None
-        if "dx" in param:
-            dx_now = pc.max_offset * jnp.tanh(param["dx"] / pc.max_offset)
         # grid-space coarse octaves (particle.coarse_mode): only the
         # FINEST octave runs the per-iteration particle splat, but the
         # coarse octaves' ONE-SHOT prep splat also runs binned when a
@@ -596,7 +635,23 @@ class ParticleStyler:
         grid_coarse = pc.coarse_mode == "grid" and "ddens" in param
         if not (grid_coarse and len(shapes) > 1):
             grid_coarse = False
-        ks = self._octave_ks(x, dx_now, shapes)
+        ksig = (x.shape[0], tuple(tuple(s) for s in shapes), "dx" in param,
+                pc.kernel, pc.splat_impl, pc.support)
+        if ksig in self._k_cache:
+            ks = self._k_cache[ksig]
+        else:
+            dx_now = None
+            if "dx" in param:
+                dx_now = pc.max_offset * jnp.tanh(
+                    param["dx"] / pc.max_offset)
+            # margin=2: the plan is reused across frames, so capacity
+            # must survive cross-frame occupancy drift, not just
+            # within-chunk drift. Only the finest octave pays per
+            # iteration (coarse octaves splat once), so +2 K rows cost
+            # ~(K+2)/K of one splat — negligible vs a 2-row overflow
+            # parking particles for a whole frame.
+            ks = self._octave_ks(x, dx_now, shapes, margin=2)
+            self._k_cache[ksig] = ks
         for o, shape in enumerate(shapes):
             scale = shape[0] / self.grid_shape[0]
             data = {
@@ -607,20 +662,26 @@ class ParticleStyler:
                 "targets": self.gram_targets,
                 "content": self.content_feats,
             }
-            key, sub = jax.random.split(key)
             cb = partial(callback, octave=o) if callback else None
             K = ks[o] if ks is not None else None
+            # octave-level PRNG split sequence is unchanged; hot paths
+            # run it on device (fused coarse: inside the jit; binned:
+            # one jitted _split_pair dispatch) — eager splits cost a
+            # tunnel RTT each on remote TPUs
             if grid_coarse and o < len(shapes) - 1:
-                param, losses = self._grid_coarse_octave(
-                    param, data, sub, tuple(shape), scale, K=K,
+                param, losses, key = self._grid_coarse_octave(
+                    param, data, key, tuple(shape), scale, K=K,
                     callback=cb)
                 n_over = jnp.int32(0)
             elif K is not None:
+                key, okey = _split_pair(key)
                 param, losses, n_over = self._run_binned_octave(
-                    param, data, sub, tuple(shape), scale, K, callback=cb)
+                    param, data, okey, tuple(shape), scale, K,
+                    callback=cb)
             else:  # flat-scatter fallback (kernels other than
                    # bspline/linear, support != 1, huge K, or occupancy
                    # beyond the bucket cap)
+                key, sub = jax.random.split(key)
                 loss_fn = self._get_loss_fn(tuple(shape), scale)
                 param, losses, _ = run_octave(
                     param, loss_fn, data, sub, iters=oc.iters, lr=oc.lr,
@@ -638,26 +699,43 @@ class ParticleStyler:
                                        info["octave_overflow"]))]
         if max(info["octave_overflow"]) > 0:
             import warnings
+            # drop the cached bin-capacity plan: the next frame re-probes
+            # occupancy instead of reusing a capacity this frame outgrew
+            self._k_cache.pop(ksig, None)
             warnings.warn(
                 f"binned splat parked {max(info['octave_overflow'])} "
                 f"overflow particles (per octave: "
                 f"{info['octave_overflow']}); they were excluded from the "
-                f"splat between rebins. Consider particle.rebin_every "
-                f"lower or splat_impl='flat'.", stacklevel=2)
+                f"splat between rebins (the next frame re-probes bin "
+                f"capacity). Consider particle.rebin_every lower or "
+                f"splat_impl='flat'.", stacklevel=2)
 
         styled = self.apply_param(pset, param)
         return styled, param, info
 
     def apply_param(self, pset: ParticleSet, param: Dict) -> ParticleSet:
+        """Apply an optimized attribute dict to a particle set — ONE
+        jitted dispatch (the eager elementwise chain costs ~6 tunnel
+        RTTs per frame, which dominates sequence interpolation)."""
         pc = self.cfg.particle
         x = jnp.asarray(pset.x, jnp.float32)
         dens = (jnp.asarray(pset.dens, jnp.float32)
-                if pset.dens is not None
-                else jnp.ones((x.shape[0],), jnp.float32))
-        if "dx" in param:
-            x = x + pc.max_offset * jnp.tanh(param["dx"] / pc.max_offset)
-        if "ddens" in param:
-            dens = dens * _dens_scale(param["ddens"], pc.max_log_dens)
+                if pset.dens is not None else None)
+        sig = ("apply", tuple(sorted(param)), dens is None)
+        if sig not in self._loss_cache:
+            mo, ml = pc.max_offset, pc.max_log_dens
+
+            def _apply(x, dens, param):
+                if dens is None:
+                    dens = jnp.ones((x.shape[0],), jnp.float32)
+                if "dx" in param:
+                    x = x + mo * jnp.tanh(param["dx"] / mo)
+                if "ddens" in param:
+                    dens = dens * _dens_scale(param["ddens"], ml)
+                return x, dens
+
+            self._loss_cache[sig] = jax.jit(_apply)
+        x, dens = self._loss_cache[sig](x, dens, param)
         color = param.get("color", pset.color)
         return ParticleSet(x=x, dens=dens, color=color, vel=pset.vel)
 
