@@ -194,7 +194,7 @@ def test_overflow_surfaced_and_warned(monkeypatch):
                         style_image=style)
     # force K=1 while several particles share cells -> parked overflow
     monkeypatch.setattr(ParticleStyler, "_octave_ks",
-                        lambda self, x, dx, shapes: [1] * len(shapes))
+                        lambda self, x, dx, shapes, **kw: [1] * len(shapes))
     rng = np.random.default_rng(3)
     x = jnp.asarray(
         np.repeat(rng.random((50, 2)) * 40 + 12, 4, axis=0), jnp.float32)
@@ -202,6 +202,51 @@ def test_overflow_surfaced_and_warned(monkeypatch):
     with pytest.warns(UserWarning, match="parked"):
         _, _, info = st.stylize_frame(pset)
     assert max(info["octave_overflow"]) > 0
+
+
+def test_k_cache_cross_frame_reuse_and_overflow_invalidation(monkeypatch):
+    """The bin-capacity plan is cached per structural signature and
+    reused across frames; an overflowing frame must DROP the cached
+    plan so the next frame re-probes occupancy
+    (styler/particle.py _k_cache; VERDICT r4 next #1)."""
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(6),
+                                          (128, 128, 3)))
+    st = ParticleStyler(_styler_cfg("binned"), grid_shape=(64, 64),
+                        style_image=style)
+    calls = {"n": 0}
+    orig = ParticleStyler._octave_ks
+
+    def counting_ks(self, x, dx, shapes, **kw):
+        calls["n"] += 1
+        return orig(self, x, dx, shapes, **kw)
+
+    monkeypatch.setattr(ParticleStyler, "_octave_ks", counting_ks)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((300, 2)) * 40 + 12, jnp.float32)
+    pset = ParticleSet(x=x, dens=jnp.ones((300,), jnp.float32))
+    _, _, info1 = st.stylize_frame(pset)
+    assert calls["n"] == 1 and len(st._k_cache) == 1
+    ksig = next(iter(st._k_cache))
+    # frame 2, same structural signature: plan reused, no re-probe
+    x2 = jnp.asarray(rng.random((300, 2)) * 40 + 12, jnp.float32)
+    _, _, info2 = st.stylize_frame(
+        ParticleSet(x=x2, dens=jnp.ones((300,), jnp.float32)))
+    assert calls["n"] == 1
+    assert max(info1["octave_overflow"]) == 0
+    assert max(info2["octave_overflow"]) == 0
+    # force an overflow: shrink the cached plan to K=1 while many
+    # particles share cells -> plan must be invalidated + warned
+    st._k_cache[ksig] = [1] * len(st._k_cache[ksig])
+    x3 = jnp.asarray(
+        np.repeat(rng.random((75, 2)) * 40 + 12, 4, axis=0), jnp.float32)
+    with pytest.warns(UserWarning, match="parked"):
+        _, _, info3 = st.stylize_frame(
+            ParticleSet(x=x3, dens=jnp.ones((300,), jnp.float32)))
+    assert max(info3["octave_overflow"]) > 0
+    assert ksig not in st._k_cache
+    # next frame re-probes (cache was dropped)
+    _, _, _ = st.stylize_frame(pset)
+    assert calls["n"] == 2 and ksig in st._k_cache
 
 
 def test_no_overflow_reports_zero():
