@@ -39,6 +39,7 @@ import json
 import os
 import time
 import traceback
+from collections import OrderedDict
 from typing import Dict, Tuple
 
 
@@ -78,12 +79,117 @@ def _job_frames(job: dict):
 
 class StylizeWorker:
     """Caches one styler per (mode, config, grid_shape) signature; the
-    jit cache inside each styler then makes repeat jobs compile-free."""
+    jit cache inside each styler then makes repeat jobs compile-free.
+
+    Input frames are additionally cached DEVICE-RESIDENT (LRU, byte
+    bounded): on a remote TPU each host->device transfer costs ~0.5-1 s
+    FIXED tunnel latency, so two queued jobs over the same sequence
+    (e.g. a style sweep or an iters escalation) would otherwise re-pay
+    the whole upload. The cache key is the frame files' identity
+    (path, mtime, size) — an overwritten frame file re-uploads."""
+
+    #: device frame-cache budget (bytes); override via NFS_TPU_SERVE_CACHE_MB
+    cache_bytes = 2 << 30
 
     def __init__(self):
         self._stylers: Dict[Tuple, object] = {}
+        self._frame_cache: "OrderedDict[Tuple, tuple]" = OrderedDict()
+        self._frame_cache_bytes = 0
+        mb = os.environ.get("NFS_TPU_SERVE_CACHE_MB")
+        if mb:
+            self.cache_bytes = int(mb) * (1 << 20)
         self.stats = {"jobs": 0, "frames": 0, "errors": 0,
-                      "styler_cache_hits": 0}
+                      "styler_cache_hits": 0,
+                      "frame_cache_hits": 0, "frame_cache_misses": 0,
+                      "upload_s_saved_est": 0.0}
+
+    # ---- device-resident input cache ---------------------------------- #
+
+    def _file_sig(self, store, pattern: str, frames) -> Tuple:
+        sig = []
+        for t in frames:
+            path = store._path(pattern, t)
+            st = os.stat(path)
+            sig.append((path, st.st_mtime_ns, st.st_size))
+        return tuple(sig)
+
+    def _cache_get(self, key: Tuple):
+        if key in self._frame_cache:
+            self._frame_cache.move_to_end(key)
+            val, nbytes, upload_s = self._frame_cache[key]
+            self.stats["frame_cache_hits"] += 1
+            # upper bound: the miss wall includes the process's
+            # first-touch compile of the sync program; the steady-state
+            # re-upload saving is ~bytes/40MB/s + the 0.5-1 s fixed
+            # tunnel latency (measured A/B in BASELINE.md round 5)
+            self.stats["upload_s_saved_est"] = round(
+                self.stats["upload_s_saved_est"] + upload_s, 3)
+            return val
+        return None
+
+    def _cache_put(self, key: Tuple, val, nbytes: int, upload_s: float):
+        self.stats["frame_cache_misses"] += 1
+        if nbytes > self.cache_bytes:
+            return  # larger than the whole budget: don't thrash
+        self._frame_cache[key] = (val, nbytes, upload_s)
+        self._frame_cache_bytes += nbytes
+        while self._frame_cache_bytes > self.cache_bytes:
+            _, (_, old_bytes, _) = self._frame_cache.popitem(last=False)
+            self._frame_cache_bytes -= old_bytes
+
+    def _load_grid_cached(self, store, job, frames):
+        """(T,)-stacked device density (+velocity) arrays for `frames`,
+        reused across jobs while the files are unchanged."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        v_pat = job.get("v_path", "v_%04d.npz")
+        has_v = store.exists(v_pat, frames[0])
+        key = ("grid", self._file_sig(store, store.d_path, frames),
+               self._file_sig(store, v_pat, frames) if has_v else None)
+        hit = self._cache_get(key)
+        if hit is not None:
+            return hit
+        t0 = time.time()
+        d = jnp.asarray(np.stack(
+            [store.load_density(t) for t in frames]), jnp.float32)
+        v = None
+        if has_v:
+            v = jnp.asarray(np.stack(
+                [store.load_velocity(t) for t in frames]), jnp.float32)
+        # sync: the clock must include the actual device transfer.
+        # block_until_ready is a NO-OP on the axon relay (CLAUDE.md) —
+        # a 4-byte data-dependent host read is the honest barrier.
+        float(d.ravel()[0])
+        if v is not None:
+            float(v.ravel()[0])
+        nbytes = d.nbytes + (v.nbytes if v is not None else 0)
+        self._cache_put(key, (d, v), nbytes, time.time() - t0)
+        return d, v
+
+    def _load_particles_cached(self, store, job, frames):
+        import jax.numpy as jnp
+
+        from nfs_tpu.core.pytrees import ParticleSet
+
+        key = ("particles", self._file_sig(store, store.p_path, frames))
+        hit = self._cache_get(key)
+        if hit is not None:
+            return hit
+        t0 = time.time()
+        psets, nbytes = [], 0
+        for t in frames:
+            raw = store.load_particles(t)
+            pset = ParticleSet(
+                x=jnp.asarray(raw["x"]),
+                dens=(jnp.asarray(raw["dens"])
+                      if "dens" in raw else None))
+            nbytes += pset.x.nbytes + (
+                pset.dens.nbytes if pset.dens is not None else 0)
+            psets.append(pset)
+        float(psets[-1].x.ravel()[0])  # real sync (axon: b_u_r is a no-op)
+        self._cache_put(key, psets, nbytes, time.time() - t0)
+        return psets
 
     def _styler(self, job: dict):
         mode = job.get("mode", "grid")
@@ -139,15 +245,7 @@ class StylizeWorker:
         outputs = []
 
         if job.get("mode", "grid") == "particle":
-            from nfs_tpu.core.pytrees import ParticleSet
-
-            psets = []
-            for t in frames:
-                raw = store.load_particles(t)
-                psets.append(ParticleSet(
-                    x=jnp.asarray(raw["x"]),
-                    dens=(jnp.asarray(raw["dens"])
-                          if "dens" in raw else None)))
+            psets = self._load_particles_cached(store, job, frames)
             for i, styled in styler.stylize_keyframes(psets):
                 t = frames[i]
                 out_store.save_particles(
@@ -155,17 +253,13 @@ class StylizeWorker:
                     dens=np.asarray(styled.dens))
                 outputs.append(f"p_{t:04d}.npz")
         else:
-            densities = [store.load_density(t) for t in frames]
-            vels = None
-            if os.path.exists(os.path.join(
-                    job["data_dir"],
-                    job.get("v_path", "v_%04d.npz") % frames[0])):
-                vels = [store.load_velocity(t) for t in frames]
+            # device-resident (T,)-stacked arrays: jnp.asarray inside the
+            # stylers is a no-op on a committed device array, so a cache
+            # hit skips the whole host->device upload
+            densities, vels = self._load_grid_cached(store, job, frames)
             if job.get("parallel"):
                 # mesh engine: all frames in one sharded optimization
-                d_star, _, _ = styler.stylize(
-                    np.stack(densities),
-                    np.stack(vels) if vels is not None else None)
+                d_star, _, _ = styler.stylize(densities, vels)
                 for i, t in enumerate(frames):
                     out_store.save_density(t, np.asarray(d_star[i]))
                     outputs.append(f"d_{t:04d}.npz")

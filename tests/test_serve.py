@@ -180,6 +180,81 @@ class TestServe:
         assert cfg.loss.style_layers == ("relu1_1", "relu2_1")
         hash(cfg)  # must not raise
 
+    def test_second_job_on_same_sequence_skips_reupload(
+            self, tmp_path, monkeypatch):
+        # device-resident frame streaming BETWEEN jobs (ROADMAP #7 /
+        # VERDICT r4 next #8): two queued jobs over the same frame files
+        # must upload the sequence ONCE — on a remote TPU each upload
+        # costs ~0.5-1 s fixed tunnel latency, so a style sweep over one
+        # sim would otherwise re-pay it per job
+        import nfs_tpu.io.npz as npz_mod
+        data = str(tmp_path / "data")
+        spool = str(tmp_path / "spool")
+        style = str(tmp_path / "style.png")
+        _make_data(data, T=2)
+        _style_png(style)
+        loads = {"n": 0}
+        orig = npz_mod.FrameStore.load_density
+
+        def counting(self, t):
+            loads["n"] += 1
+            return orig(self, t)
+
+        monkeypatch.setattr(npz_mod.FrameStore, "load_density", counting)
+        # two jobs, same sequence, different style iters -> different
+        # styler, SAME device-resident input
+        j1 = _job(data, str(tmp_path / "o1"), style, frames=(0, 1))
+        j2 = _job(data, str(tmp_path / "o2"), style, frames=(0, 1))
+        j2["config"]["optim.iters"] = 3
+        submit_job(spool, j1, name="a")
+        submit_job(spool, j2, name="b")
+        stats = serve(spool, poll_s=0.01, max_jobs=2)
+        assert stats["jobs"] == 2
+        assert loads["n"] == 2  # frames read from disk once (2 frames)
+        assert stats["frame_cache_hits"] == 1
+        assert stats["frame_cache_misses"] == 1
+        assert stats["upload_s_saved_est"] > 0
+        for name, out in [("a", "o1"), ("b", "o2")]:
+            with open(os.path.join(spool, "done", f"{name}.json")) as f:
+                assert json.load(f)["status"] == "ok"
+
+    def test_frame_cache_invalidates_on_file_change(self, tmp_path):
+        # an overwritten frame file must re-upload (cache keys on
+        # path+mtime+size, not path alone)
+        data = str(tmp_path / "data")
+        style = str(tmp_path / "style.png")
+        _make_data(data, T=1)
+        _style_png(style)
+        worker = StylizeWorker()
+        job = _job(data, str(tmp_path / "o"), style, frames=(0,))
+        worker.run_job(job)
+        # rewrite frame 0 with different content + bump mtime
+        p = os.path.join(data, "d_0000.npz")
+        np.savez(p, d=np.full((16, 12), 0.5, np.float32))
+        os.utime(p, (os.path.getmtime(p) + 5, os.path.getmtime(p) + 5))
+        worker.run_job(job)
+        assert worker.stats["frame_cache_hits"] == 0
+        assert worker.stats["frame_cache_misses"] == 2
+
+    def test_frame_cache_lru_eviction(self, tmp_path):
+        # byte budget respected: inserting past the budget evicts the
+        # least-recently-used sequence
+        data = str(tmp_path / "data")
+        style = str(tmp_path / "style.png")
+        _make_data(data, T=2)
+        _style_png(style)
+        worker = StylizeWorker()
+        worker.cache_bytes = 16 * 12 * 4 + 8  # one 16x12 f32 frame + eps
+        j0 = _job(data, str(tmp_path / "o0"), style, frames=(0,))
+        j1 = _job(data, str(tmp_path / "o1"), style, frames=(1,))
+        worker.run_job(j0)
+        worker.run_job(j1)  # evicts frame 0's entry
+        assert len(worker._frame_cache) == 1
+        worker.run_job(j0)  # miss again
+        assert worker.stats["frame_cache_misses"] == 3
+        assert worker.stats["frame_cache_hits"] == 0
+        assert worker._frame_cache_bytes <= worker.cache_bytes
+
     def test_stop_marker(self, tmp_path):
         spool = str(tmp_path / "spool")
         os.makedirs(spool, exist_ok=True)
