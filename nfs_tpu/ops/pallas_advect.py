@@ -298,6 +298,104 @@ def _bwd_field_call(K: int, tz: int, Dp: int, Hp: int, Wp: int,
     return custom_batching.sequential_vmap(call)
 
 
+def _bwd_fused_kernel(stack_ref, gf_out, gz_out, gy_out, gx_out,
+                      slab, sem, *, K: int, tz: int):
+    """Fused backward: ALL four gradients in one pass over one halo'd
+    slab (ROADMAP #6 / VERDICT r4 next #7).
+
+    ``stack_ref`` (ANY/HBM) holds five K-halo'd planes on a leading axis:
+    [sz, sy, sx, g, f]. Per z-slab ONE DMA brings the halo'd slab into
+    VMEM, and the single (2K+1)^3 tap loop accumulates
+
+      grad_f[j]   = sum_o tent(s[j+o] - j) * g[j+o]          (pull, planes 0-3)
+      grad_s[j]   = g[j] * sum_o d/ds[prod tent](s_j - (j+o)) * f[j+o]
+                                                              (push, plane 4)
+
+    vs the split kernels this halves slab DMA traffic (sz/sy/sx/g were
+    fetched by BOTH kernels), drops one dispatch, and replaces nine XLA
+    pad ops with one stacked pad (see _advect_pallas_bwd).
+    """
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        stack_ref.at[:, pl.ds(i * tz, tz + 2 * K)], slab, sem)
+    cp.start()
+
+    h = gf_out.shape[1]
+    w = gf_out.shape[2]
+    z_idx = (i * tz + jax.lax.broadcasted_iota(
+        jnp.int32, (tz, h, w), 0)).astype(jnp.float32)
+    y_idx = jax.lax.broadcasted_iota(jnp.int32, (tz, h, w), 1).astype(
+        jnp.float32)
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (tz, h, w), 2).astype(
+        jnp.float32)
+    cp.wait()
+
+    # center (unshifted) views: output row z maps to slab row z-local + K
+    sz_c = slab[0, pl.ds(K, tz), K:K + h, K:K + w]
+    sy_c = slab[1, pl.ds(K, tz), K:K + h, K:K + w]
+    sx_c = slab[2, pl.ds(K, tz), K:K + h, K:K + w]
+    g_c = slab[3, pl.ds(K, tz), K:K + h, K:K + w]
+
+    def z_tap(k, accs):
+        af, az, ay, ax = accs
+        oz = (k - K).astype(jnp.float32)
+        sub = slab[:, pl.ds(k, tz), :, :]
+        # push weights share one z factor per k
+        uz = sz_c - (z_idx + oz)
+        wz_c, dz_c = _tent(uz), _dtent(uz)
+        for oy in range(-K, K + 1):
+            uy = sy_c - (y_idx + oy)
+            wy_c, dy_c = _tent(uy), _dtent(uy)
+            for ox in range(-K, K + 1):
+                # --- pull leg: grad_field from shifted (s, g)
+                szs = sub[0, :, oy + K:oy + K + h, ox + K:ox + K + w]
+                sys_ = sub[1, :, oy + K:oy + K + h, ox + K:ox + K + w]
+                sxs = sub[2, :, oy + K:oy + K + h, ox + K:ox + K + w]
+                gs = sub[3, :, oy + K:oy + K + h, ox + K:ox + K + w]
+                af = af + (_tent(szs - z_idx) * _tent(sys_ - y_idx)
+                           * _tent(sxs - x_idx)) * gs
+                # --- push leg: grad_s from shifted f, center weights
+                ux = sx_c - (x_idx + ox)
+                wx_c, dx_c = _tent(ux), _dtent(ux)
+                f = sub[4, :, oy + K:oy + K + h, ox + K:ox + K + w]
+                az = az + dz_c * wy_c * wx_c * f
+                ay = ay + wz_c * dy_c * wx_c * f
+                ax = ax + wz_c * wy_c * dx_c * f
+        return af, az, ay, ax
+
+    zero = jnp.zeros((tz, h, w), jnp.float32)
+    af, az, ay, ax = jax.lax.fori_loop(
+        0, 2 * K + 1, z_tap, (zero, zero, zero, zero))
+    gf_out[:] = af
+    gz_out[:] = az * g_c
+    gy_out[:] = ay * g_c
+    gx_out[:] = ax * g_c
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_fused_call(K: int, tz: int, Dp: int, Hp: int, Wp: int,
+                    Hs: int, Ws: int):
+    """Cached, vmappable fused-backward pallas_call (see _fwd_call)."""
+    grid = (Dp // tz,)
+
+    def call(stack):
+        return pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, K=K, tz=tz),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(_block3(tz, Hp, Wp),) * 4,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((Dp, Hp, Wp), jnp.float32)
+                for _ in range(4)),
+            scratch_shapes=[
+                pltpu.VMEM((5, tz + 2 * K, Hs, Ws), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(stack)
+
+    return custom_batching.sequential_vmap(call)
+
+
 @functools.lru_cache(maxsize=None)
 def _bwd_vel_call(K: int, tz: int, Dp: int, Hp: int, Wp: int,
                   Hs: int, Ws: int):
@@ -339,6 +437,16 @@ def _advect_pallas_fwd(field, vel, dt, max_disp, tz):
     return out, (field, vel)
 
 
+# Module flag for A/B benches (bench/advect_bench.py). The fused
+# single-dispatch backward halves slab DMA traffic on paper but MEASURED
+# SLOWER than the split two-kernel backward on v5e at the headline shape
+# (6.33 vs 5.63 ms/iter full grad chain, 112x64x112, tz=2 — the kernels
+# are VPU-compute-bound on the 125-tap loop, not DMA-bound, and the
+# 4-output fused kernel schedules worse). Split stays the default; see
+# docs/ROOFLINE.md "Fused advect backward".
+FUSED_BWD = False
+
+
 def _advect_pallas_bwd(dt, max_disp, tz, res, g):
     field, vel = res
     D, H, W = field.shape
@@ -346,23 +454,40 @@ def _advect_pallas_bwd(dt, max_disp, tz, res, g):
         field, vel, dt, max_disp, tz)
     g32 = g.astype(jnp.float32)
 
-    # ---- grad wrt field: halo'd (sz, sy, sx, g) stack, pull transpose
-    def halo(x):
-        return jnp.pad(x, [(K, K + Dp - D), (K, Hs - H - K),
-                           (K, Ws - W - K)])
+    if FUSED_BWD:
+        # ONE halo'd 5-plane stack (one XLA pad), ONE kernel dispatch.
+        # Zero halo padding is safe on every plane: where j+o lands in
+        # the pad region g is 0 (pull leg contributes nothing), and
+        # push-leg outputs beyond (D, H, W) are sliced away below.
+        stack = jnp.pad(
+            jnp.stack([s[0], s[1], s[2], g32,
+                       field.astype(jnp.float32)]),
+            [(0, 0), (K, K + Dp - D), (K, Hs - H - K), (K, Ws - W - K)])
+        gf, gz, gy, gx = _bwd_fused_call(K, tz, Dp, Hp, Wp, Hs, Ws)(stack)
+        grad_field = gf[:D, :H, :W]
+        grad_s = jnp.stack([x[:D, :H, :W] for x in (gz, gy, gx)],
+                           axis=-1)
+    else:
+        # ---- grad wrt field: halo'd (sz, sy, sx, g) stack, pull transpose
+        def halo(x):
+            return jnp.pad(x, [(K, K + Dp - D), (K, Hs - H - K),
+                               (K, Ws - W - K)])
 
-    stack = jnp.stack([halo(s[0]), halo(s[1]), halo(s[2]), halo(g32)])
-    grad_field = _bwd_field_call(K, tz, Dp, Hp, Wp, Hs, Ws)(
-        stack)[:D, :H, :W]
+        stack = jnp.stack([halo(s[0]), halo(s[1]), halo(s[2]), halo(g32)])
+        grad_field = _bwd_field_call(K, tz, Dp, Hp, Wp, Hs, Ws)(
+            stack)[:D, :H, :W]
 
-    # ---- grad wrt velocity: forward-style kernel with weight derivatives
-    pad_s = [(0, Dp - D), (0, Hp - H), (0, Wp - W)]
-    sz, sy, sx = (jnp.pad(x, pad_s, constant_values=-10 * K) for x in s)
-    gpad = jnp.pad(g32, pad_s)
-    fpad = jnp.pad(field.astype(jnp.float32),
-                   [(K, K + Dp - D), (K, Hs - H - K), (K, Ws - W - K)])
-    gs = _bwd_vel_call(K, tz, Dp, Hp, Wp, Hs, Ws)(sz, sy, sx, gpad, fpad)
-    grad_s = jnp.stack([x[:D, :H, :W] for x in gs], axis=-1)
+        # ---- grad wrt velocity: forward-style kernel with derivatives
+        pad_s = [(0, Dp - D), (0, Hp - H), (0, Wp - W)]
+        sz, sy, sx = (jnp.pad(x, pad_s, constant_values=-10 * K)
+                      for x in s)
+        gpad = jnp.pad(g32, pad_s)
+        fpad = jnp.pad(field.astype(jnp.float32),
+                       [(K, K + Dp - D), (K, Hs - H - K),
+                        (K, Ws - W - K)])
+        gs = _bwd_vel_call(K, tz, Dp, Hp, Wp, Hs, Ws)(sz, sy, sx, gpad,
+                                                      fpad)
+        grad_s = jnp.stack([x[:D, :H, :W] for x in gs], axis=-1)
 
     # chain: s = clip(i - clip(dt*v)). JAX's clip subgradient is 1 strictly
     # inside, 0 strictly outside, and 0.5 AT either boundary (max/min JVPs

@@ -57,6 +57,34 @@ class TestPallasAdvect:
         np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_r),
                                    atol=1e-4)
 
+    def test_vjp_fused_backward_matches_window(self):
+        # The fused single-dispatch backward is a measured loser on v5e
+        # (docs/ROOFLINE.md "Fused advect backward") but is kept behind
+        # FUSED_BWD for A/B on future hardware — keep it correct.
+        from nfs_tpu.ops import pallas_advect as pa
+        from nfs_tpu.ops.advect import advect
+
+        f, v = _case(seed=1)
+
+        def lp(f, v):
+            return jnp.sum(pa.advect_pallas(f, v, 1.0, 2.0, 4) ** 2)
+
+        def lr(f, v):
+            return jnp.sum(
+                advect(f, v, mode="clamp", max_disp=2.0, impl="xla") ** 2)
+
+        old = pa.FUSED_BWD
+        pa.FUSED_BWD = True
+        try:
+            gf_p, gv_p = jax.grad(lp, argnums=(0, 1))(f, v)
+        finally:
+            pa.FUSED_BWD = old
+        gf_r, gv_r = jax.grad(lr, argnums=(0, 1))(f, v)
+        np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_r),
+                                   atol=1e-4)
+
     def test_vjp_zero_velocity_nonzero_grad(self):
         """u == 0 everywhere (zero-init transport field) must still give
         a usable velocity gradient (the JAX abs-at-0 convention)."""
