@@ -56,17 +56,38 @@ def _frame_wall(cfg_over, grid, n_p, style, seed=0):
     return time.perf_counter() - t0
 
 
-def run(small: bool):
-    import jax
+# leg name -> config override for its wall; one bounded process per leg
+# on the remote TPU (--leg/--state), all in-process on CPU (--small).
+def _legs(iters, views):
+    return {
+        "base": {},
+        "iters2x": {"optim.iters": 2 * iters},
+        "views-4": {"render.n_views": views - 4},
+        "xla": {"particle.splat_impl": "binned"},
+        "flat": {"particle.splat_impl": "flat"},
+        "nodens": {"particle.optimize_density": False},
+        "rebin1": {"particle.rebin_every": iters},
+    }
 
+
+def _params(small: bool):
     n_p = 20_000 if small else 200_000
     grid = (32, 24, 32) if small else (96, 64, 96)
     iters = 4 if small else 20
     views = 2 if small else 9
     rsize = (64, 64) if small else (256, 256)
+    return n_p, grid, iters, views, rsize
+
+
+def run_leg(small: bool, leg: str, state_file: str):
+    """Measure ONE wall, merge it into the state JSON, exit cleanly —
+    keeps every remote-TPU process under an external timeout without
+    ever being killed mid-compile (CLAUDE.md tunnel rule)."""
+    import jax
+
+    n_p, grid, iters, views, rsize = _params(small)
     style = np.asarray(np.random.default_rng(1).random(rsize + (3,)),
                        np.float32)
-
     base = {
         "render.render_size": rsize,
         "render.n_views": views, "render.transmit": 0.05,
@@ -75,29 +96,32 @@ def run(small: bool):
         "particle.optimize_position": True,
         "particle.optimize_density": True,
     }
+    over = dict(base, **_legs(iters, views)[leg])
+    w = _frame_wall(over, grid, n_p, style)
+    print(f"  {leg:38s} {w * 1e3:9.1f} ms  "
+          f"backend={jax.default_backend()}", flush=True)
+    try:
+        with open(state_file) as f:
+            state = json.load(f)
+    except FileNotFoundError:
+        state = {}
+    state[leg] = w
+    with open(state_file, "w") as f:
+        json.dump(state, f, indent=1)
 
-    def wall(label, **over):
-        w = _frame_wall(dict(base, **over), grid, n_p, style)
-        print(f"  {label:38s} {w * 1e3:9.1f} ms", flush=True)
-        return w
 
-    print(f"LNST stage breakdown: n_p={n_p} grid={grid} iters={iters} "
-          f"views={views} backend={jax.default_backend()}", flush=True)
+def summarize(small: bool, walls: dict):
+    import jax
 
-    w_base = wall("base (auto splat)")
-    w_2x = wall("2x iters", **{"optim.iters": 2 * iters})
+    n_p, grid, iters, views, _ = _params(small)
+    missing = sorted(set(_legs(iters, views)) - set(walls))
+    if missing:
+        raise SystemExit(f"missing legs: {missing}")
+    w_base, w_2x, w_v = walls["base"], walls["iters2x"], walls["views-4"]
+    w_xla, w_flat = walls["xla"], walls["flat"]
+    w_nod, w_rb = walls["nodens"], walls["rebin1"]
     marg = (w_2x - w_base) / (2 * iters)   # per-octave marginal avg
-    # per-view shared render+VGG cost (marginal in n_views)
-    w_v = wall(f"{views - 4} views", **{"render.n_views": views - 4})
     per_view = (w_base - w_v) / 4 / (2 * iters)
-    w_xla = wall("splat=binned (XLA window)",
-                 **{"particle.splat_impl": "binned"})
-    w_flat = wall("splat=flat scatter",
-                  **{"particle.splat_impl": "flat"})
-    w_nod = wall("no ddens (position only)",
-                 **{"particle.optimize_density": False})
-    w_rb = wall("single rebin per octave",
-                **{"particle.rebin_every": iters})
 
     n_iters = 2 * iters
     out = {
@@ -122,10 +146,29 @@ def run(small: bool):
     return out
 
 
+def run(small: bool):
+    n_p, grid, iters, views, _ = _params(small)
+    print(f"LNST stage breakdown: n_p={n_p} grid={grid} iters={iters} "
+          f"views={views}", flush=True)
+    walls = {}
+    state = "/tmp/lnst_stages_state.json"
+    for leg in _legs(iters, views):
+        run_leg(small, leg, state)
+    with open(state) as f:
+        walls = json.load(f)
+    return summarize(small, walls)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--leg", default=None,
+                    help="measure one wall (bounded TPU process) and "
+                         "merge into --state")
+    ap.add_argument("--state", default="/tmp/lnst_stages_state.json")
+    ap.add_argument("--summarize", action="store_true",
+                    help="derive the breakdown from --state")
     a = ap.parse_args()
     if a.small:
         import os
@@ -134,7 +177,14 @@ if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
     from nfs_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
-    res = run(a.small)
-    if a.out:
+    if a.leg:
+        run_leg(a.small, a.leg, a.state)
+        res = None
+    elif a.summarize:
+        with open(a.state) as f:
+            res = summarize(a.small, json.load(f))
+    else:
+        res = run(a.small)
+    if a.out and res is not None:
         with open(a.out, "w") as f:
             json.dump(res, f, indent=1)
