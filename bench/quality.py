@@ -40,6 +40,7 @@ def run_particle(args):
     from nfs_tpu.core.config import StyleConfig, replace
     from nfs_tpu.core.pytrees import ParticleSet
     from nfs_tpu.eval.quality import (coherence_gate, gram_distance,
+                                      stylization_strength,
                                       temporal_coherence)
     from nfs_tpu.features.vgg import vgg_features
     from nfs_tpu.render.raymarch import render_views
@@ -136,12 +137,32 @@ def run_particle(args):
     coh_sty = temporal_coherence(ds_sty, vs, max_disp=2.0)
     coh_raw = temporal_coherence(ds_raw, vs, max_disp=2.0)
 
+    # optimizer's own convergence per keyframe (finest octave)
+    convergence = {}
+    for kf, inf in styler.last_keyframe_infos.items():
+        fin = np.asarray(inf["octave_losses"][-1], np.float64)
+        convergence[str(kf)] = {
+            "initial": float(fin[0]), "final": float(fin[-1]),
+            "drop_pct": float(100.0 * (fin[0] - fin[-1])
+                              / max(abs(fin[0]), 1e-12)),
+        }
+
     result = {
         "metric": "lnst_particle_quality",
+        "loss_convergence_finest_octave": convergence,
+        "stylization_strength": stylization_strength(
+            ds_sty[T // 2], ds_raw[T // 2]),
         "gram_distance": {
             "before": gd_before, "after": gd_after,
             "drop_pct": 100.0 * (gd_before - gd_after)
                         / max(gd_before, 1e-12),
+            "note": "near-flat under the deterministic RANDOM VGG: its "
+                    "style gradient is pixel-level high-frequency noise "
+                    "a pointwise-free density grid can chase (grid leg: "
+                    "~90% drop) but bounded particle offsets + "
+                    "multiplicative density — a smoothing prior — "
+                    "cannot express. Expected to drop with real "
+                    "pretrained weights (scripts/convert_vgg_weights).",
         },
         "content_anchor": {
             "feat_mse_before": content_dist(d_mid),
