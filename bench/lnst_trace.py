@@ -130,12 +130,13 @@ def parse_xplane(trace_dir: str):
 import re
 
 _SLOT_DIM = re.compile(r"\b\d{7,9}\b")        # n_slots(+N) sized dims
-_4D = re.compile(r"f32\[(\d+),(\d+),(\d+),(\d+)\]")
+_4D = re.compile(r"f32\[(?:3,)?(\d+),(\d+),(\d+),(\d+)\]")
 
 
 def _is_bin_array(name: str) -> bool:
-    """f32 (K, Z, Y, X) bin arrays: small leading K, volume-sized rest
-    (VGG activations are bf16[9, H, W, C])."""
+    """f32 (K, Z, Y, X) bin arrays — also the shifted-resident 5D
+    (3, K, Zp, Yb, Xb) param/Adam arrays: small leading K, volume-sized
+    rest (VGG activations are bf16[9, H, W, C])."""
     for m in _4D.finditer(name):
         k, z, y, x = (int(g) for g in m.groups())
         if 1 <= k <= 32 and z >= 32 and y >= 32 and x >= 32:
@@ -151,6 +152,8 @@ def bucket_of(name: str) -> str:
     low = name.lower()
     if low.startswith("%while") or low.startswith("%conditional"):
         return "_control_wrapper"  # double-counts its body; excluded
+    if "custom-call" in low and _is_bin_array(name):
+        return "splat_kernels"   # window kernels on (K, Z, Y, X) bins
     if "splat" in low and "tpu_custom_call" in low:
         return "splat_kernels"
     if "sort" in low:

@@ -254,6 +254,26 @@ class ParticleConfig:
     coarse_mode: str = "grid"
     # fall back to 'flat' when padded_cells * K exceeds this (memory cap)
     max_bin_slots: int = 64_000_000
+    # chunk-state layout for the binned path: 'auto' = the Pallas
+    # kernels' shifted (K, Zp, Yb, Xb) layout when they are eligible
+    # (3D + bspline + density-only attrs — kills ~3 ms/iter of XLA
+    # pad/slice/reshape plumbing at the kernel boundary, measured at the
+    # particles_3d bench config), flat slots otherwise | 'slots' forces
+    # the flat layout (A/B + escape hatch)
+    binned_layout: str = "auto"
+    # parked-fraction budget for bin capacity K: pick the smallest K
+    # whose binning parks at most this fraction of particles (skipped
+    # from the splat until the next rebin), instead of sizing K to the
+    # single most crowded cell. Dense-bin cost (window pass + param/Adam
+    # state) is LINEAR in K while the occupancy tail is ~exponential, so
+    # a 0.1% budget typically halves K on near-uniform distributions
+    # (bench particles_3d: K 10 -> 4) and adapts automatically on
+    # clumped ones (parked(K) is measured, not assumed). Engages only
+    # when the budget rounds to >= 1 particle (tiny sets keep the exact
+    # capacity + headroom); the overflow warning threshold becomes 4x
+    # the budget (drift headroom) instead of zero. None = exact legacy
+    # sizing.
+    k_budget: Optional[float] = 0.001
 
 
 @dataclass(frozen=True)

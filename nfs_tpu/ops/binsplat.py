@@ -120,6 +120,24 @@ def max_bin_count(p: jax.Array, shape: Sequence[int],
     return jnp.max(counts)
 
 
+def bin_count_stats(p: jax.Array, shape: Sequence[int],
+                    kernel: str = "bspline",
+                    kcand: int = 16) -> jax.Array:
+    """(1 + kcand,) int32: [max bin count, parked(1), ..., parked(kcand)]
+    where parked(k) = number of particles that a capacity-k binning
+    would park (sum over cells of max(count - k, 0)). Feeds the K-budget
+    selection (ParticleConfig.k_budget): the K rows above the occupancy
+    quantile cost a full dense window pass + elementwise state each, so
+    trading a bounded parked fraction for fewer rows is the right deal
+    on crowded distributions."""
+    flat = _flat_base(jax.lax.stop_gradient(p), shape, kernel)
+    n_cells = int(np.prod(padded_shape(shape)))
+    counts = jnp.zeros((n_cells,), jnp.int32).at[flat].add(1)
+    parked = jnp.stack([jnp.sum(jnp.maximum(counts - k, 0))
+                        for k in range(1, kcand + 1)])
+    return jnp.concatenate([jnp.max(counts)[None], parked])
+
+
 def bucket_k(k: int, cap: int = 4096) -> int:
     """Round K up to the next even number (1 and 2 stay as-is; variants
     stay bounded for the jit cache while avoiding pow2's up-to-2x dense

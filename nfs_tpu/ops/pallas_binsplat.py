@@ -392,6 +392,84 @@ def _pick_tz(Y: int, X: int, budget_mb: float = 8.0) -> int:
     return 1
 
 
+# --------------------------------------------------------------------- #
+# shifted-resident entry (chunk state lives in the kernel's layout)
+# --------------------------------------------------------------------- #
+
+
+def shifted_layout(shape) -> tuple:
+    """((Zp, Yb, Xb), tz) of the shifted operand layout for unpadded
+    `shape` — the layout the chunk-resident styler state lives in (see
+    styler/particle.py `_binned_chunk_core` layout='shifted')."""
+    Z, Y, X = padded_shape(shape)
+    tz = _pick_tz(Y, X)
+    _, Zp, Yb, Xb = _shifted_dims(Z, Y, X, tz)
+    return (Zp, Yb, Xb), tz
+
+
+def prep_shifted(x4: jax.Array, fill: float, dims) -> jax.Array:
+    """(K, Z, Y, X) tight bin array -> the shifted (K, Zp, Yb, Xb)
+    operand layout (front shift 2 baked in, ends tile-rounded)."""
+    Zp, Yb, Xb = dims
+    return _prep_shifted(x4, fill, Zp, Yb, Xb)
+
+
+def _ws_impl(a, pz, py, px, grid_shape, K, interpret):
+    Z, Y, X = padded_shape(grid_shape)
+    tz = _pick_tz(Y, X)
+    Zo, Zp, Yb, Xb = _shifted_dims(Z, Y, X, tz)
+    Yo = _round_up(Y, 8)
+    Xo = _round_up(X, 128)
+    Ys = _round_up(max(Yb, Yo + 2) + 2, 8)
+    Xs = _round_up(max(Xb, Xo + 2) + 2, 128)
+    assert a.shape[-3:] == (Zp, Yb, Xb), (a.shape, (Zp, Yb, Xb))
+    out = _fwd_call(K, tz, Zo, Yo, Xo, Yb, Xb, Ys, Xs, interpret)(
+        a, pz, py, px)
+    gz, gy, gx = grid_shape
+    return out[PAD:PAD + gz, PAD:PAD + gy, PAD:PAD + gx]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def window_shifted(a, pz, py, px, grid_shape, K: int, interpret: bool):
+    """Dense-window splat over ALREADY-shifted (K, Zp, Yb, Xb) operands,
+    returning the (*grid_shape,) grid directly (PAD ring cropped).
+
+    The VJP consumes the operands as residuals and emits gradients IN
+    the shifted layout, so a chunk whose params live shifted-resident
+    pays zero per-step pad/slice/reshape around the kernel boundary
+    (measured ~3 ms/iter of XLA plumbing at the BENCH_FULL particles_3d
+    config — docs/LNST_TRACE.json). Empty slots must carry attr 0 and
+    the position fill must be far outside the grid (w1d == 0) so their
+    values AND gradients are exactly zero."""
+    return _ws_impl(a, pz, py, px, grid_shape, K, interpret)
+
+
+def _ws_fwd(a, pz, py, px, grid_shape, K, interpret):
+    return (_ws_impl(a, pz, py, px, grid_shape, K, interpret),
+            (a, pz, py, px))
+
+
+def _ws_bwd(grid_shape, K, interpret, res, g):
+    a, pz, py, px = res
+    Z, Y, X = padded_shape(grid_shape)
+    tz = _pick_tz(Y, X)
+    _, Zp, Yb, Xb = a.shape
+    Ysg = _round_up(Yb + 4, 8)
+    Xsg = _round_up(Xb + 4, 128)
+    gz, gy, gx = grid_shape
+    # front pad 2 (shifted layout) + PAD (the fwd crop: cotangent is
+    # zero on the PAD ring of the padded domain)
+    gp = jnp.pad(g.astype(jnp.float32),
+                 [(2 + PAD, Zp + 2 - (2 + PAD) - gz),
+                  (2 + PAD, Ysg - (2 + PAD) - gy),
+                  (2 + PAD, Xsg - (2 + PAD) - gx)])
+    return _bwd_call(K, tz, Zp, Yb, Xb, Ysg, Xsg, interpret)(
+        a, pz, py, px, gp)
+
+
+window_shifted.defvjp(_ws_fwd, _ws_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "K", "interpret"))
 def splat_binned_pallas(p_b: jax.Array, attr_b: jax.Array,
                         valid: jax.Array, shape, K: int,

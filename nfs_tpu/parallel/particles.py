@@ -82,24 +82,37 @@ class ParallelKeyframeStyler:
 
     # ------------------------------------------------------------- #
 
-    def _get_batched_chunk(self, shape, K, scale, has_dx):
+    def _get_batched_chunk(self, shape, K, scale, param_keys,
+                           first=False, last=False):
         """jit(vmap(_binned_chunk_core)) for one octave signature. The
         batch axis rides the arrays' shardings (GSPMD), so one traced
-        executable serves any keyframe batch of the same shapes."""
+        executable serves any keyframe batch of the same shapes.
+
+        first/last mirror the single-frame driver's permutation-row
+        savings: the first chunk initializes Adam state inside the chunk
+        layout (opt_state arg is None), the last skips permuting it
+        back."""
+        has_dx = "dx" in param_keys
         kernel = self.styler.cfg.particle.kernel
-        sig = (shape, K, round(scale, 6), has_dx, kernel)
+        sig = (shape, K, round(scale, 6), param_keys, kernel, first,
+               last)
         if sig in self._chunk_cache:
             return self._chunk_cache[sig]
         styler = self.styler
-        loss_fn = styler._get_binned_loss_fn(shape, scale, K)
+        # same layout decision as the single-frame driver
+        loss_fn, layout = styler._binned_parts(shape, scale, K,
+                                               param_keys)
         core = partial(_binned_chunk_core, loss_fn=loss_fn,
                        optimizer=styler._optimizer, shape=shape, K=K,
                        scale=scale,
                        max_offset=styler.cfg.particle.max_offset,
-                       has_dx=has_dx, kernel=kernel)
+                       has_dx=has_dx, kernel=kernel, layout=layout,
+                       return_state=not last)
         data_axes = {"x": 0, "dens": 0, "pool": None, "vgg": None,
                      "targets": None, "content": None, "n_dx": None}
-        fn = jax.jit(jax.vmap(core, in_axes=(0, 0, 0, data_axes)),
+        fn = jax.jit(jax.vmap(core,
+                              in_axes=(0, None if first else 0, 0,
+                                       data_axes)),
                      donate_argnums=(0, 1))
         self._chunk_cache[sig] = fn
         return fn
@@ -274,15 +287,18 @@ class ParallelKeyframeStyler:
                 octave_over.append(jnp.zeros((B,), jnp.int32))
                 continue
             K = max(ks[0 if grid_coarse else o] for ks in per_kf_ks)
-            step = self._get_batched_chunk(tuple(shape), K, scale, has_dx)
             data = dict(rep, x=x_b, dens=dens_b, n_dx=float(dims))
-            opt_state = jax.jit(jax.vmap(styler._optimizer.init))(param)
+            opt_state = None
             chunk = max(1, pc.rebin_every)
             done = 0
             losses = []
             overs = []
             while done < oc.iters:
                 nst = min(chunk, oc.iters - done)
+                step = self._get_batched_chunk(
+                    tuple(shape), K, scale, tuple(sorted(param)),
+                    first=opt_state is None,
+                    last=done + nst >= oc.iters)
                 okey_b, s2_b = _split2(okey_b)
                 param, opt_state, ls, n_over = step(param, opt_state,
                                                     _split_n(s2_b, nst),
@@ -294,7 +310,9 @@ class ParallelKeyframeStyler:
             octave_over.append(jnp.stack(overs).max(axis=0)[:B])
 
         over = np.asarray(jnp.stack(octave_over))  # (octaves, B)
-        if over.max() > 0:
+        over_thresh = 4 * (int(pc.k_budget * xs[0].shape[0])
+                           if pc.k_budget else 0)
+        if over.max() > over_thresh:
             warnings.warn(
                 f"binned splat parked up to {int(over.max())} overflow "
                 f"particles on some keyframes (per octave max over "

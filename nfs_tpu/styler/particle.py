@@ -55,15 +55,83 @@ from nfs_tpu.render.raymarch import raymarch, render2d, render_views
 from nfs_tpu.styler.octave import _scan_chunk_core, run_octave
 
 
+def _to_hybrid(bn, n_slots, K, pshape, dims, n, tree):
+    """Canonical (N, ...)-leaf pytree -> shifted-resident hybrid leaves
+    {"b": dense bins in the Pallas shifted layout (K, Zp, Yb, Xb) or
+    (C, K, Zp, Yb, Xb), "t": the untouched canonical (N, ...) tail}.
+
+    The tail serves two roles: PARKED (overflow) particles live there
+    authoritatively — the merge picks tail values for them, matching the
+    slot layout's parking region — and active particles' stale tail
+    copies are simply never read back."""
+    from nfs_tpu.ops.pallas_binsplat import prep_shifted
+
+    def conv(leaf):
+        if not (hasattr(leaf, "ndim") and leaf.ndim in (1, 2)
+                and leaf.shape[0] == n):
+            return leaf
+        b = to_binned(bn, leaf)              # (S+N,) or (C, S+N)
+        if leaf.ndim == 1:
+            d = prep_shifted(b[:n_slots].reshape((K,) + pshape), 0.0,
+                             dims)
+        else:
+            d = jnp.stack([
+                prep_shifted(b[c, :n_slots].reshape((K,) + pshape), 0.0,
+                             dims) for c in range(leaf.shape[1])])
+        return {"b": d, "t": leaf}
+
+    return jax.tree.map(conv, tree)
+
+
+def _from_hybrid(bn, n_slots, K, pshape, n, tree):
+    """Exact inverse of `_to_hybrid` for every particle (parked ones
+    resolve to the tail, active ones to their dense slot)."""
+    def conv(leaf):
+        if not (isinstance(leaf, dict) and set(leaf) == {"b", "t"}):
+            return leaf
+        d, t = leaf["b"], leaf["t"]
+        sl = tuple(slice(2, 2 + s) for s in pshape)
+        if t.ndim == 1:
+            dense = d[(slice(None),) + sl].reshape(n_slots)
+            return from_binned(bn, jnp.concatenate([dense, t]))
+        dense = d[(slice(None), slice(None)) + sl].reshape(
+            t.shape[1], n_slots)
+        return from_binned(bn, jnp.concatenate([dense, t.T], axis=1))
+
+    return jax.tree.map(
+        conv, tree,
+        is_leaf=lambda l: isinstance(l, dict) and set(l) == {"b", "t"})
+
+
 def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
                        shape, K, scale, max_offset, has_dx,
-                       kernel="bspline"):
+                       kernel="bspline", layout="slots",
+                       return_state=True):
     """One rebin + R optimizer iterations, all in a single dispatch.
 
     Bins at the chunk-start positions, permutes param AND Adam state into
     the dense (cells, K) layout (Adam is elementwise, so permuting its
     moments alongside the params is exact), scans R steps gather/scatter-
     free, and unsorts back to canonical particle order.
+
+    layout='shifted' (the Pallas 3D-density path): the chunk state lives
+    in the kernel's (K, Zp, Yb, Xb) shifted layout instead of flat slots,
+    via `_to_hybrid`/`_from_hybrid`; `ops.pallas_binsplat.window_shifted`
+    then consumes params and emits gradients with ZERO per-step
+    pad/slice/reshape at the kernel boundary (~3 ms/iter of XLA layout
+    plumbing at the particles_3d bench config, docs/LNST_TRACE.json, at
+    the cost of ~37% more elementwise HBM traffic from the lane-padded
+    dense region).
+
+    Chunk-boundary permutations are the next cost (each scatter/gather
+    row is ~1.2-1.5 ms on v5e; 16 rows in + 8 out at ~2 ms/iter
+    amortized over a 20-iteration chunk), so two row-count levers:
+    `opt_state=None` initializes the optimizer state directly IN the
+    chunk layout (a fresh state needs no permutation — the default
+    octave driver re-inits Adam per octave, so its first chunk always
+    qualifies), and `return_state=False` skips permuting the state back
+    (the last chunk's state is discarded). At the default one-chunk
+    octave both engage: 16 of 24 permutation rows vanish.
     """
     x, dens = data["x"], data["dens"]
     n = x.shape[0]
@@ -74,6 +142,44 @@ def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
         p = x * scale
     bn = bin_particles(p, shape, K, kernel=kernel)
     n_slots = bn.valid.shape[0]
+
+    if layout == "shifted":
+        from nfs_tpu.ops.binsplat import padded_shape
+        from nfs_tpu.ops.pallas_binsplat import (prep_shifted,
+                                                 shifted_layout)
+        pshape = padded_shape(shape)
+        dims, _ = shifted_layout(shape)
+        param_b = _to_hybrid(bn, n_slots, K, pshape, dims, n, param)
+        state_b = (optimizer.init(param_b) if opt_state is None else
+                   _to_hybrid(bn, n_slots, K, pshape, dims, n, opt_state))
+        # chunk-constant operands: positions filled FAR outside the grid
+        # at empty/pad slots (w1d == 0 there, so phantom slots contribute
+        # exactly zero to values and gradients), attrs filled 0
+        xb = to_binned(bn, x)
+        densb = to_binned(bn, dens)
+        xb4 = tuple(
+            prep_shifted(
+                jnp.where(bn.valid, xb[d, :n_slots], 1e4)
+                .reshape((K,) + pshape), 1e4, dims)
+            for d in range(x.shape[1]))
+        densb4 = prep_shifted(densb[:n_slots].reshape((K,) + pshape),
+                              0.0, dims)
+        data_b = dict(data, xb4=xb4, densb4=densb4,
+                      parked=bn.slot >= n_slots)
+
+        def step(carry, key):
+            pb, sb = carry
+            loss, grads = jax.value_and_grad(loss_fn)(pb, key, data_b)
+            updates, sb = optimizer.update(grads, sb, pb)
+            pb = optax.apply_updates(pb, updates)
+            return (pb, sb), loss
+
+        (param_b, state_b), losses = jax.lax.scan(
+            step, (param_b, state_b), keys)
+        return (_from_hybrid(bn, n_slots, K, pshape, n, param_b),
+                (_from_hybrid(bn, n_slots, K, pshape, n, state_b)
+                 if return_state else None),
+                losses, bn.n_overflow)
 
     def _to_b(tree):        # canonical (N, ...) leaves -> binned
         return jax.tree.map(
@@ -88,7 +194,8 @@ def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
                 and leaf.shape[-1] == n_slots + n) else leaf, tree)
 
     param_b = _to_b(param)
-    state_b = _to_b(opt_state)
+    state_b = (optimizer.init(param_b) if opt_state is None
+               else _to_b(opt_state))
     data_b = dict(data, xb=to_binned(bn, x), densb=to_binned(bn, dens),
                   valid=bn.valid)
 
@@ -101,12 +208,15 @@ def _binned_chunk_core(param, opt_state, keys, data, loss_fn, optimizer,
 
     (param_b, state_b), losses = jax.lax.scan(step, (param_b, state_b),
                                               keys)
-    return _from_b(param_b), _from_b(state_b), losses, bn.n_overflow
+    return (_from_b(param_b),
+            _from_b(state_b) if return_state else None,
+            losses, bn.n_overflow)
 
 
 def _binned_chunk_keyed_core(param, opt_state, okey, data, loss_fn,
                              optimizer, shape, K, scale, max_offset,
-                             has_dx, n_steps, kernel="bspline"):
+                             has_dx, n_steps, kernel="bspline",
+                             layout="slots", return_state=True):
     """`_binned_chunk_core` with the chunk's RNG plan derived ON DEVICE
     (same split sequence as the old eager version, so the PRNG stream —
     which parallel/particles.py mirrors bit-for-bit — is unchanged).
@@ -117,7 +227,8 @@ def _binned_chunk_keyed_core(param, opt_state, okey, data, loss_fn,
     keys = jax.random.split(sub, n_steps)
     param, opt_state, losses, n_over = _binned_chunk_core(
         param, opt_state, keys, data, loss_fn, optimizer, shape, K,
-        scale, max_offset, has_dx, kernel=kernel)
+        scale, max_offset, has_dx, kernel=kernel, layout=layout,
+        return_state=return_state)
     return param, opt_state, losses, n_over, okey_next
 
 
@@ -127,7 +238,8 @@ def _binned_chunk_keyed_core(param, opt_state, okey, data, loss_fn,
 _binned_chunk = jax.jit(
     _binned_chunk_keyed_core,
     static_argnames=("loss_fn", "optimizer", "shape", "K", "scale",
-                     "max_offset", "has_dx", "n_steps", "kernel"),
+                     "max_offset", "has_dx", "n_steps", "kernel",
+                     "layout", "return_state"),
     donate_argnums=(0, 1))
 
 
@@ -152,10 +264,14 @@ def _dens_scale(ddens: jax.Array, max_log: Optional[float]) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("shps", "base", "kernel"))
 def _octave_max_counts(p, shps, base, kernel="bspline"):
-    """Max bin occupancy for every octave shape in one dispatch (module
-    level so repeated stylize_frame calls reuse one traced executable —
-    a per-call inner jit retraced + host-synced every frame)."""
-    return jnp.stack([max_bin_count(p * (s[0] / base), s, kernel)
+    """Per-octave bin stats in one dispatch: row o = [max count,
+    parked(1..16)] for octave shape o (module level so repeated
+    stylize_frame calls reuse one traced executable — a per-call inner
+    jit retraced + host-synced every frame). Column 0 is the legacy
+    max-occupancy probe; the parked columns feed the K-budget selection
+    (ParticleConfig.k_budget)."""
+    from nfs_tpu.ops.binsplat import bin_count_stats
+    return jnp.stack([bin_count_stats(p * (s[0] / base), s, kernel)
                       for s in shps])
 
 
@@ -418,6 +534,69 @@ class ParticleStyler:
         self._loss_cache[sig] = loss_fn
         return loss_fn
 
+    def _get_shifted_loss_fn(self, shape: Tuple[int, ...], scale: float,
+                             K: int):
+        """Loss over the shifted-resident hybrid layout (see
+        `_binned_chunk_core` layout='shifted'): params arrive as
+        {"b": (C?, K, Zp, Yb, Xb), "t": (N, ...)} leaves, the window is
+        `window_shifted` (operands and gradients stay in the kernel's
+        layout), and the position regularizer counts every particle
+        exactly once (dense slots + the parked tail, the active tail
+        copies masked out)."""
+        from nfs_tpu.ops.pallas_binsplat import (_interpret_default,
+                                                 window_shifted)
+        rsize = self._octave_render_size(scale)
+        pc = self.cfg.particle
+        interpret = _interpret_default()
+        sig = ("shifted", shape, round(scale, 6), K, rsize, interpret)
+        if sig in self._loss_cache:
+            return self._loss_cache[sig]
+
+        def loss_fn(param_b, key, data_b):
+            xb4, densb4 = data_b["xb4"], data_b["densb4"]
+            if "dx" in param_b:
+                dxb = pc.max_offset * jnp.tanh(
+                    param_b["dx"]["b"] / pc.max_offset)
+                pb = tuple((xb4[d] + dxb[d]) * scale for d in range(3))
+            else:
+                pb = tuple(xb4[d] * scale for d in range(3))
+            dens_eff = densb4
+            if "ddens" in param_b:
+                dens_eff = densb4 * _dens_scale(param_b["ddens"]["b"],
+                                                pc.max_log_dens)
+            d_grid = window_shifted(dens_eff, pb[0], pb[1], pb[2],
+                                    shape, K, interpret) * (scale ** 2)
+            imgs = self._render(d_grid, None, key, data_b["pool"], rsize)
+            total = self._image_loss(imgs, data_b)
+            if "dx" in param_b:
+                t = jnp.where(data_b["parked"][:, None],
+                              param_b["dx"]["t"], 0.0)
+                total += 1e-3 * (jnp.sum(param_b["dx"]["b"] ** 2)
+                                 + jnp.sum(t ** 2)) / data_b["n_dx"]
+            return total
+
+        self._loss_cache[sig] = loss_fn
+        return loss_fn
+
+    def _binned_parts(self, shape, scale, K, param_keys):
+        """(loss_fn, layout) for the binned chunk: the shifted-resident
+        layout when the fused Pallas window is eligible (3D, bspline,
+        density-only attrs), flat slots otherwise. Both the single-frame
+        octave driver and the keyframe-DP engine
+        (parallel/particles.py) pick through here so their layouts stay
+        in lockstep."""
+        pc = self.cfg.particle
+        impl = pc.splat_impl
+        if impl == "auto":
+            impl = ("binned_pallas" if jax.default_backend() == "tpu"
+                    else "binned")
+        if (pc.binned_layout != "slots" and impl == "binned_pallas"
+                and len(shape) == 3 and pc.kernel == "bspline"
+                and "color" not in param_keys):
+            return (self._get_shifted_loss_fn(tuple(shape), scale, K),
+                    "shifted")
+        return self._get_binned_loss_fn(tuple(shape), scale, K), "slots"
+
     def _get_grid_loss_fn(self, shape: Tuple[int, ...], scale: float):
         """Loss for a GRID-space coarse octave (particle.coarse_mode
         'grid'): optimize a multiplicative log-density field g over the
@@ -553,8 +732,14 @@ class ParticleStyler:
             kmaxes = np.asarray(_octave_max_counts(
                 p, tuple(tuple(s) for s in shapes),
                 float(self.grid_shape[0]), kernel=pc.kernel))
+        kmaxes = np.asarray(kmaxes)
+        if kmaxes.ndim == 1:   # legacy per-octave scalar maxes
+            kmaxes = kmaxes[:, None]
+        budget_n = (int(pc.k_budget * x.shape[0])
+                    if pc.k_budget else 0)
         ks = []
-        for kmax, shape in zip(kmaxes, shapes):
+        for stats, shape in zip(kmaxes, shapes):
+            kmax = int(stats[0])
             # +1 headroom: within-chunk drift is <= ~lr*rebin_every cells
             # (<< 1), so crowding beyond the binned max is rare and the
             # parking region keeps any overflow exact (skipped until the
@@ -562,6 +747,15 @@ class ParticleStyler:
             # so headroom is paid on every iteration. `margin` adds
             # cross-FRAME headroom when the caller caches the plan.
             need = int(kmax) + 1 + margin
+            if budget_n >= 1 and len(stats) > 1:
+                # K-budget: smallest K parking <= budget_n particles
+                # (parked(k) in stats[1:]); headroom/margin deliberately
+                # skipped — drift overflow lands in the SAME parking
+                # budget, guarded by the 4x warning threshold
+                parked = np.asarray(stats[1:])
+                ok = np.nonzero(parked <= budget_n)[0]
+                if ok.size:
+                    need = min(need, int(ok[0]) + 1)
             K = bucket_k(need)
             if K < need:
                 # true occupancy exceeds the bucket cap: the binned layout
@@ -581,11 +775,15 @@ class ParticleStyler:
         device unless a callback forces a sync."""
         oc = self.cfg.optim
         pc = self.cfg.particle
-        loss_fn = self._get_binned_loss_fn(tuple(shape), scale, K)
+        loss_fn, layout = self._binned_parts(tuple(shape), scale, K,
+                                             tuple(param))
         has_dx = "dx" in param
         dims = (param["dx"].size if has_dx else 1)
         chunk_data = dict(data, n_dx=float(dims))
-        opt_state = self._optimizer.init(param)
+        # Adam state is fresh per octave: the first chunk initializes it
+        # directly in the chunk layout (opt_state=None — no permutation
+        # rows), and the last chunk skips permuting it back (discarded)
+        opt_state = None
         chunk = max(1, pc.rebin_every)
         all_losses = []
         overflows = []
@@ -596,7 +794,8 @@ class ParticleStyler:
                 param, opt_state, okey, chunk_data, loss_fn=loss_fn,
                 optimizer=self._optimizer, shape=tuple(shape), K=K,
                 scale=scale, max_offset=pc.max_offset, has_dx=has_dx,
-                n_steps=nst, kernel=pc.kernel)
+                n_steps=nst, kernel=pc.kernel, layout=layout,
+                return_state=done + nst < oc.iters)
             done += nst
             all_losses.append(losses)
             overflows.append(n_over)  # stays on device until frame end
@@ -693,11 +892,16 @@ class ParticleStyler:
 
         # one scalar sync per frame: parked (overflow) particles are
         # excluded from the splat until the next rebin — a silently
-        # crowded frame must be VISIBLE (VERDICT r2 weak #4)
+        # crowded frame must be VISIBLE (VERDICT r2 weak #4). With a
+        # K-budget, parking up to the budget is the DEAL, not a fault:
+        # the warn/invalidate threshold is 4x the budget (drift
+        # headroom); beyond it the distribution outgrew the plan.
         info["octave_overflow"] = [int(v) for v in
                                    np.asarray(jnp.stack(
                                        info["octave_overflow"]))]
-        if max(info["octave_overflow"]) > 0:
+        over_thresh = 4 * (int(pc.k_budget * x.shape[0])
+                           if pc.k_budget else 0)
+        if max(info["octave_overflow"]) > over_thresh:
             import warnings
             # drop the cached bin-capacity plan: the next frame re-probes
             # occupancy instead of reusing a capacity this frame outgrew

@@ -297,3 +297,70 @@ def test_no_overflow_reports_zero():
         dens=jnp.ones((500,), jnp.float32))
     _, _, info = st.stylize_frame(pset)
     assert info["octave_overflow"] == [0] * len(info["octave_losses"])
+
+
+def test_k_budget_shrinks_capacity_within_budget():
+    """ParticleConfig.k_budget: K sized to a parked-fraction budget
+    instead of the single most crowded cell — on a near-uniform
+    distribution the occupancy tail is ~exponential, so the budgeted K
+    is much smaller; realized parking stays within 4x budget (the warn
+    threshold) and no warning fires."""
+    import warnings as _warnings
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(9),
+                                          (64, 64, 3)))
+    grid = (24, 16, 24)
+    rng = np.random.default_rng(11)
+    n = 20_000
+    x = jnp.asarray(rng.random((n, 3)) * np.array([20, 12, 20]) + 2,
+                    jnp.float32)
+    base = _styler_cfg("binned")
+    st = ParticleStyler(replace(base, **{"particle.k_budget": None}),
+                        grid_shape=grid, style_image=style)
+    stb = ParticleStyler(base, grid_shape=grid, style_image=style)
+    assert stb.cfg.particle.k_budget is not None  # shipped default on
+    k_full = st._octave_ks(x, None, [grid])[0]
+    k_bud = stb._octave_ks(x, None, [grid])[0]
+    assert k_bud < k_full, (k_bud, k_full)
+
+    pset = ParticleSet(x=x, dens=jnp.ones((n,), jnp.float32))
+    with _warnings.catch_warnings():
+        # no overflow warning expected (parking within budget is the
+        # deal); other warnings (e.g. jax buffer donation) are fine
+        _warnings.filterwarnings("error", message=".*parked.*")
+        _, _, info = stb.stylize_frame(pset)
+    budget_n = int(stb.cfg.particle.k_budget * n)
+    assert max(info["octave_overflow"]) <= 4 * budget_n
+
+    # rasterization fidelity: parked mass is bounded by the budget
+    bn = B.bin_particles(x, grid, k_bud)
+    dens = jnp.ones((n,), jnp.float32)
+    d_bud = B.splat_binned(B.to_binned(bn, x), B.to_binned(bn, dens),
+                           bn.valid, grid, k_bud)
+    d_full = splat(x, dens, grid)
+    rel_l1 = float(jnp.sum(jnp.abs(d_bud - d_full))
+                   / jnp.sum(jnp.abs(d_full)))
+    assert rel_l1 <= 3 * stb.cfg.particle.k_budget, rel_l1
+
+
+def test_k_budget_inert_for_small_sets_and_clumps():
+    """The budget engages only when it rounds to >= 1 particle, and a
+    genuinely clumped distribution keeps its large K (parked(k) is
+    measured, not assumed)."""
+    style = np.asarray(jax.random.uniform(jax.random.PRNGKey(10),
+                                          (64, 64, 3)))
+    st = ParticleStyler(_styler_cfg("binned"), grid_shape=(64, 64),
+                        style_image=style)
+    rng = np.random.default_rng(12)
+    # n=300: budget_n = 0 -> exact legacy sizing (kmax + 1, bucketed)
+    x = jnp.asarray(rng.random((300, 2)) * 40 + 12, jnp.float32)
+    st_off = ParticleStyler(
+        replace(_styler_cfg("binned"), **{"particle.k_budget": None}),
+        grid_shape=(64, 64), style_image=style)
+    assert st._octave_ks(x, None, [(64, 64)]) == \
+        st_off._octave_ks(x, None, [(64, 64)])
+    # 2000 particles all in ~one cell: every k <= 16 parks ~everything,
+    # far over budget -> budget path cannot engage, legacy sizing rules
+    xc = jnp.full((2000, 2), 30.2, jnp.float32)
+    ks_c = st._octave_ks(xc, None, [(64, 64)])
+    ks_c_off = st_off._octave_ks(xc, None, [(64, 64)])
+    assert ks_c == ks_c_off
